@@ -1,0 +1,27 @@
+"""Test harness: force CPU with 8 virtual devices BEFORE jax initializes,
+so multi-chip sharding logic is exercised without TPU hardware
+(SURVEY.md §4: the reference never tested distributed paths — we do)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {devs}"
+    return devs
+
+
+@pytest.fixture()
+def rng():
+    return jax.random.PRNGKey(0)
