@@ -1,0 +1,587 @@
+"""StyleGAN2 generator & discriminator — TPU-native flax implementation.
+
+Capability parity with the reference
+(/root/reference/stylegan_code_finder/networks/stylegan2/model.py), re-designed
+for TPU rather than translated:
+
+* **NHWC layout** everywhere (TPU-preferred; reference is NCHW).
+* **ModulatedConv2d** uses the mathematically-equivalent
+  "scale-input / demodulate-output" formulation instead of the reference's
+  per-sample grouped-conv weight trick (model.py:237-278): the conv keeps a
+  *shared* weight so XLA tiles one large batched conv onto the MXU, and the
+  per-sample style/demod factors become cheap channelwise VPU multiplies.
+  Equivalence: conv is linear in per-input-channel scaling, and demod is a
+  per-(sample, out-channel) scalar, so
+  ``conv(x, scale*w*s) * d == d * conv(x * s, scale*w)``.
+* **upfirdn2d** (blur / up / down) is the fused XLA op from
+  `synthesis_in_style_tpu.ops` — no CUDA extension, natively twice
+  differentiable for R1 / path-length regularization.
+* **Intermediate activations**: `return_intermediate_activations=True`
+  returns a dict keyed 0..num_layers of post-StyledConv feature maps
+  (reference model.py:530-549) — the hook the entire label-synthesis pipeline
+  depends on. NHWC.
+* Noise buffers live in the flax `"noises"` variable collection
+  (reference registers `noise_{i}` buffers, model.py:412-415);
+  `randomize_noise=True` draws from the `"noise"` PRNG stream instead.
+* Style mixing takes a traced `inject_index` (or draws one from the
+  `"mixing"` PRNG stream) and selects per-layer latents with a mask — no
+  data-dependent Python control flow under jit.
+
+Parameter layouts (for the torch→jax checkpoint converter in
+`synthesis_in_style_tpu.utils.checkpoint`):
+  linear weight (in, out)   [torch: (out, in)]
+  conv weight (kh, kw, in, out)   [torch: (out, in, kh, kw)]
+  modulated conv weight (kh, kw, in, out)   [torch: (1, out, in, kh, kw)]
+  constant input (1, 4, 4, C)   [torch: (1, C, 4, 4)]
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from synthesis_in_style_tpu.ops import (
+    blur_2d,
+    fused_leaky_relu,
+    make_kernel,
+    scaled_leaky_relu,
+    upsample_2d,
+)
+
+Array = jax.Array
+
+
+def pixel_norm(x: Array, eps: float = 1e-8) -> Array:
+    """Normalize each latent vector to unit RMS (reference PixelNorm,
+    model.py:15-20; channel axis is last here)."""
+    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
+
+
+def _conv2d(
+    x: Array,
+    w: Array,
+    stride: int = 1,
+    padding: int = 0,
+    lhs_dilation: Optional[Tuple[int, int]] = None,
+    rhs_dilation: Optional[Tuple[int, int]] = None,
+) -> Array:
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        lhs_dilation=lhs_dilation,
+        rhs_dilation=rhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class EqualLinear(nn.Module):
+    """Linear layer with runtime equalized-lr scaling (reference EqualLinear,
+    model.py:133-162). Weight stored (in, out)."""
+
+    out_dim: int
+    use_bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+    activation: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        weight = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0 / self.lr_mul),
+            (in_dim, self.out_dim),
+        )
+        scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
+        out = x @ (weight * scale).astype(x.dtype)
+        bias = None
+        if self.use_bias:
+            bias = (
+                self.param(
+                    "bias",
+                    nn.initializers.constant(self.bias_init),
+                    (self.out_dim,),
+                )
+                * self.lr_mul
+            ).astype(x.dtype)
+        if self.activation:
+            return fused_leaky_relu(out, bias)
+        return out + bias if bias is not None else out
+
+
+class EqualConv2d(nn.Module):
+    """Conv with equalized-lr scaling (reference EqualConv2d, model.py:95-124)."""
+
+    out_channel: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_channel = x.shape[-1]
+        weight = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (self.kernel_size, self.kernel_size, in_channel, self.out_channel),
+        )
+        scale = 1.0 / math.sqrt(in_channel * self.kernel_size**2)
+        out = _conv2d(x, weight * scale, stride=self.stride, padding=self.padding)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.out_channel,)
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class ModulatedConv2d(nn.Module):
+    """Style-modulated conv (reference ModulatedConv2d, model.py:182-278),
+    scale-input / demodulate-output formulation (see module docstring)."""
+
+    out_channel: int
+    kernel_size: int
+    demodulate: bool = True
+    upsample: bool = False
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: Array, style: Array) -> Array:
+        in_channel = x.shape[-1]
+        k = self.kernel_size
+        weight = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (k, k, in_channel, self.out_channel),
+        )
+        scale = 1.0 / math.sqrt(in_channel * k**2)
+        w = weight * scale  # shared across the batch
+
+        # per-sample, per-input-channel modulation
+        s = EqualLinear(in_channel, bias_init=1.0, name="modulation")(style)
+
+        demod = None
+        if self.demodulate:
+            # d[b,o] = rsqrt(sum_{kh,kw,i} (w*s_i)^2 + eps)
+            #        = rsqrt(sum_i s_i^2 * sum_{kh,kw} w^2 + eps)
+            w_sq = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=(0, 1))  # (in, out)
+            sigma = jnp.square(s.astype(jnp.float32)) @ w_sq  # (B, out)
+            demod = lax.rsqrt(sigma + 1e-8).astype(x.dtype)
+
+        blur_k = make_kernel(list(self.blur_kernel))
+
+        if self.upsample:
+            x = x * s[:, None, None, :].astype(x.dtype)
+            # conv_transpose(stride 2, pad 0) == dilated conv with flipped kernel
+            out = _conv2d(
+                x,
+                jnp.flip(w, (0, 1)),
+                padding=k - 1,
+                lhs_dilation=(2, 2),
+            )
+            p = (len(self.blur_kernel) - 2) - (k - 1)
+            pad0 = (p + 1) // 2 + 1
+            pad1 = p // 2 + 1
+            out = blur_2d(out, blur_k, (pad0, pad1), upsample_factor=2)
+        elif self.downsample:
+            p = (len(self.blur_kernel) - 2) + (k - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            x = blur_2d(x, blur_k, (pad0, pad1))
+            x = x * s[:, None, None, :].astype(x.dtype)
+            out = _conv2d(x, w, stride=2, padding=0)
+        else:
+            x = x * s[:, None, None, :].astype(x.dtype)
+            out = _conv2d(x, w, padding=k // 2)
+
+        if demod is not None:
+            out = out * demod[:, None, None, :]
+        return out
+
+
+class NoiseInjection(nn.Module):
+    """Adds learned-scale spatial noise (reference NoiseInjection,
+    model.py:281-292). Noise shape (B, H, W, 1)."""
+
+    @nn.compact
+    def __call__(self, image: Array, noise: Optional[Array] = None) -> Array:
+        weight = self.param("weight", nn.initializers.zeros, (1,))
+        if noise is None:
+            b, h, w, _ = image.shape
+            noise = jax.random.normal(
+                self.make_rng("noise"), (b, h, w, 1), image.dtype
+            )
+        return image + weight.astype(image.dtype) * noise.astype(image.dtype)
+
+
+class StyledConv(nn.Module):
+    """ModulatedConv2d → noise injection → fused bias+LeakyReLU
+    (reference StyledConv, model.py:308-342)."""
+
+    out_channel: int
+    kernel_size: int
+    upsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    demodulate: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, style: Array, noise: Optional[Array] = None) -> Array:
+        out = ModulatedConv2d(
+            self.out_channel,
+            self.kernel_size,
+            demodulate=self.demodulate,
+            upsample=self.upsample,
+            blur_kernel=self.blur_kernel,
+            name="conv",
+        )(x, style)
+        out = NoiseInjection(name="noise")(out, noise)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channel,))
+        return fused_leaky_relu(out, bias.astype(out.dtype))
+
+
+class ToRGB(nn.Module):
+    """1x1 modulated conv to RGB with skip accumulation (reference ToRGB,
+    model.py:345-364)."""
+
+    upsample: bool = True
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, style: Array, skip: Optional[Array] = None) -> Array:
+        out = ModulatedConv2d(self.out_channels, 1, demodulate=False, name="conv")(
+            x, style
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = out + bias.astype(out.dtype)
+        if skip is not None:
+            skip = upsample_2d(skip, make_kernel(list(self.blur_kernel)), 2)
+            out = out + skip
+        return out
+
+
+def generator_channels(channel_multiplier: int = 2) -> Dict[int, int]:
+    """Per-resolution channel widths (reference Generator.get_channels,
+    model.py:443-455)."""
+    return {
+        4: 512,
+        8: 512,
+        16: 512,
+        32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
+
+
+class Generator(nn.Module):
+    """StyleGAN2 synthesis network (reference Generator, model.py:367-561).
+
+    PRNG streams: "noise" (randomized per-layer noise), "mixing" (style-mixing
+    inject index when not given explicitly).
+
+    Setup-based so `__call__`, `style` and `mean_latent` share submodules.
+    """
+
+    size: int
+    style_dim: int
+    n_mlp: int
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    lr_mlp: float = 0.01
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.size))
+
+    @property
+    def num_layers(self) -> int:
+        return (self.log_size - 2) * 2 + 1
+
+    @property
+    def n_latent(self) -> int:
+        return self.log_size * 2 - 2
+
+    @property
+    def channels(self) -> Dict[int, int]:
+        return generator_channels(self.channel_multiplier)
+
+    def noise_shapes(self) -> List[Tuple[int, int, int, int]]:
+        """Per-layer noise buffer shapes, NHWC (reference model.py:412-415)."""
+        shapes = []
+        for layer_idx in range(self.num_layers):
+            res = (layer_idx + 5) // 2
+            shapes.append((1, 2**res, 2**res, 1))
+        return shapes
+
+    def setup(self):
+        channels = self.channels
+        self.style_layers = [
+            EqualLinear(
+                self.style_dim,
+                lr_mul=self.lr_mlp,
+                activation=True,
+                name=f"style_{i + 1}",
+            )
+            for i in range(self.n_mlp)
+        ]
+        self.const_input = self.param(
+            "input", nn.initializers.normal(stddev=1.0), (1, 4, 4, channels[4])
+        )
+        self.conv1 = StyledConv(channels[4], 3, blur_kernel=self.blur_kernel)
+        self.to_rgb1 = ToRGB(upsample=False)
+
+        convs = []
+        to_rgbs = []
+        for res_log in range(3, self.log_size + 1):
+            out_channel = channels[2**res_log]
+            convs.append(
+                StyledConv(
+                    out_channel, 3, upsample=True, blur_kernel=self.blur_kernel
+                )
+            )
+            convs.append(
+                StyledConv(out_channel, 3, blur_kernel=self.blur_kernel)
+            )
+            to_rgbs.append(ToRGB())
+        self.convs = convs
+        self.to_rgbs = to_rgbs
+
+        # default per-layer noise buffers (reference registers noise_{i}
+        # buffers at construction, model.py:412-415); deterministic init so
+        # fixed-noise synthesis is reproducible without rng plumbing
+        self.noise_buffers = [
+            self.variable(
+                "noises",
+                f"noise_{i}",
+                lambda s=shp, i=i: jax.random.normal(jax.random.PRNGKey(i), s),
+            )
+            for i, shp in enumerate(self.noise_shapes())
+        ]
+
+    def style(self, z: Array) -> Array:
+        """Map z -> w (reference get_latent, model.py:476-477)."""
+        out = pixel_norm(z)
+        for layer in self.style_layers:
+            out = layer(out)
+        return out
+
+    def mean_latent(self, key: Array, n_latent: int) -> Array:
+        """Average mapped latent for truncation (reference model.py:468-474).
+        Call via .apply(vars, key, n, method=Generator.mean_latent)."""
+        z = jax.random.normal(key, (n_latent, self.style_dim))
+        return jnp.mean(self.style(z), axis=0, keepdims=True)
+
+    def __call__(
+        self,
+        styles: Sequence[Array],
+        return_latents: bool = False,
+        inject_index: Optional[Array] = None,
+        truncation: float = 1.0,
+        truncation_latent: Optional[Array] = None,
+        input_is_latent: bool = False,
+        noise: Optional[Sequence[Optional[Array]]] = None,
+        randomize_noise: bool = True,
+        return_intermediate_activations: bool = False,
+    ) -> Tuple[Array, Any]:
+        if not input_is_latent:
+            styles = [self.style(s) for s in styles]
+
+        if truncation < 1:
+            assert truncation_latent is not None
+            styles = [
+                truncation_latent + truncation * (s - truncation_latent)
+                for s in styles
+            ]
+
+        # --- build (B, n_latent, D) per-layer latents (style mixing) ---
+        n_latent = self.n_latent
+        if len(styles) < 2:
+            if styles[0].ndim == 3:
+                latent = styles[0]
+            else:
+                latent = jnp.repeat(styles[0][:, None, :], n_latent, axis=1)
+        else:
+            if inject_index is None:
+                inject_index = jax.random.randint(
+                    self.make_rng("mixing"), (), 1, n_latent
+                )
+            layer_pos = jnp.arange(n_latent)[None, :, None]
+            latent = jnp.where(
+                layer_pos < inject_index,
+                styles[0][:, None, :],
+                styles[1][:, None, :],
+            )
+
+        batch = latent.shape[0]
+
+        # --- noise buffers / streams ---
+        if noise is None:
+            if randomize_noise:
+                noise = [None] * self.num_layers
+            else:
+                noise = [buf.value for buf in self.noise_buffers]
+
+        acts: Optional[Dict[int, Array]] = (
+            {} if return_intermediate_activations else None
+        )
+
+        out = jnp.repeat(self.const_input, batch, axis=0).astype(latent.dtype)
+        if acts is not None:
+            acts[0] = lax.stop_gradient(out)
+
+        out = self.conv1(out, latent[:, 0], noise=noise[0])
+        if acts is not None:
+            acts[1] = lax.stop_gradient(out)
+
+        skip = self.to_rgb1(out, latent[:, 1])
+
+        i = 1
+        for conv1, conv2, noise1, noise2, to_rgb in zip(
+            self.convs[::2],
+            self.convs[1::2],
+            noise[1::2],
+            noise[2::2],
+            self.to_rgbs,
+        ):
+            out = conv1(out, latent[:, i], noise=noise1)
+            if acts is not None:
+                acts[i + 1] = lax.stop_gradient(out)
+            out = conv2(out, latent[:, i + 1], noise=noise2)
+            if acts is not None:
+                acts[i + 2] = lax.stop_gradient(out)
+            skip = to_rgb(out, latent[:, i + 2], skip)
+            i += 2
+
+        image = skip
+
+        if return_latents:
+            return image, latent
+        if return_intermediate_activations:
+            return image, acts
+        return image, None
+
+
+class ConvLayer(nn.Module):
+    """(optional blur-downsample) → EqualConv2d → fused LeakyReLU
+    (reference ConvLayer, model.py:564-610)."""
+
+    out_channel: int
+    kernel_size: int
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.downsample:
+            p = (len(self.blur_kernel) - 2) + (self.kernel_size - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            x = blur_2d(x, make_kernel(list(self.blur_kernel)), (pad0, pad1))
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, self.kernel_size // 2
+
+        out = EqualConv2d(
+            self.out_channel,
+            self.kernel_size,
+            stride=stride,
+            padding=padding,
+            use_bias=self.use_bias and not self.activate,
+            name="conv",
+        )(x)
+
+        if self.activate:
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.out_channel,)
+                )
+                out = fused_leaky_relu(out, bias.astype(out.dtype))
+            else:
+                out = scaled_leaky_relu(out)
+        return out
+
+
+class ResBlock(nn.Module):
+    """Residual downsampling block with 1/sqrt(2) merge (reference ResBlock,
+    model.py:613-631)."""
+
+    out_channel: int
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_channel = x.shape[-1]
+        out = ConvLayer(in_channel, 3, name="conv1")(x)
+        out = ConvLayer(
+            self.out_channel, 3, downsample=True, blur_kernel=self.blur_kernel,
+            name="conv2",
+        )(out)
+        skip = ConvLayer(
+            self.out_channel, 1, downsample=True, use_bias=False, activate=False,
+            name="skip",
+        )(x)
+        return (out + skip) / math.sqrt(2)
+
+
+def minibatch_stddev(x: Array, group_size: int = 4, num_features: int = 1) -> Array:
+    """Append a minibatch-stddev channel (reference Discriminator.forward,
+    model.py:677-685). NHWC."""
+    b, h, w, c = x.shape
+    group = min(b, group_size)
+    y = x.reshape(group, -1, h, w, num_features, c // num_features)
+    y = y.astype(jnp.float32)
+    var = jnp.var(y, axis=0)  # biased, matches torch unbiased=False
+    std = jnp.sqrt(var + 1e-8)
+    # mean over (channels-per-feature, H, W), keep per-feature stat
+    mean_std = jnp.mean(std, axis=(1, 2, 4))  # (B//group, num_features)
+    mean_std = jnp.tile(mean_std, (group, 1))  # (B, num_features)
+    stat = jnp.broadcast_to(
+        mean_std[:, None, None, :], (b, h, w, num_features)
+    ).astype(x.dtype)
+    return jnp.concatenate([x, stat], axis=-1)
+
+
+class Discriminator(nn.Module):
+    """StyleGAN2 discriminator (reference Discriminator, model.py:634-692)."""
+
+    size: int
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    input_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        channels = generator_channels(self.channel_multiplier)
+        log_size = int(math.log2(self.size))
+
+        out = ConvLayer(channels[self.size], 1, name="conv_in")(x)
+        block = 0
+        for i in range(log_size, 2, -1):
+            out = ResBlock(
+                channels[2 ** (i - 1)],
+                blur_kernel=self.blur_kernel,
+                name=f"blocks_{block}",
+            )(out)
+            block += 1
+
+        out = minibatch_stddev(out, group_size=4, num_features=1)
+        out = ConvLayer(channels[4], 3, name="final_conv")(out)
+
+        out = out.reshape(out.shape[0], -1)  # NHWC flatten (converter permutes)
+        out = EqualLinear(channels[4], activation=True, name="final_linear_0")(out)
+        out = EqualLinear(1, name="final_linear_1")(out)
+        return out

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU bootstrap (sitecustomize) force-selects jax_platforms="axon,cpu"
+# at registration, overriding the env var — override it back post-import.
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def eight_devices():
