@@ -1,0 +1,163 @@
+"""Standard trainer extensions (replaces pytorch_training's Snapshotter,
+WandBLogger, LRScheduler-reporting, ImagePlotter, Evaluator — reference call
+sites train.py:108-137, train_stylegan_2.py:127-180)."""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from synthesis_in_style_tpu.core.trainer import Extension, Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def _is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+class Snapshotter(Extension):
+    """Periodically checkpoints a dict of named pytrees via orbax, preserving
+    the reference's logical key layout (`generator`, `discriminator`, `g_ema`,
+    `*_optimizer`, `segmentation_network`, ... — train_stylegan_2.py:154-165).
+
+    `state_fn(trainer)` returns the {name: pytree} dict to save.
+    """
+
+    priority = 200
+
+    def __init__(self, state_fn: Callable[[Trainer], Dict], log_dir, trigger):
+        super().__init__(trigger)
+        self.state_fn = state_fn
+        self.checkpoint_dir = Path(log_dir) / "checkpoints"
+        self._checkpointer = None
+
+    def _get_checkpointer(self):
+        if self._checkpointer is None:
+            import orbax.checkpoint as ocp
+
+            self._checkpointer = ocp.StandardCheckpointer()
+        return self._checkpointer
+
+    def run(self, trainer: Trainer):
+        if not _is_main_process():
+            return
+        state = self.state_fn(trainer)
+        state = jax.tree_util.tree_map(np.asarray, state)
+        path = (self.checkpoint_dir / f"iter_{trainer.updater.iteration:08d}").resolve()
+        self._get_checkpointer().save(path, state, force=True)
+        logger.info("snapshot saved to %s", path)
+
+    def finalize(self, trainer: Trainer):
+        self.run(trainer)
+        if self._checkpointer is not None:
+            self._checkpointer.wait_until_finished()
+
+
+class LogWriter(Extension):
+    """Drains the reporter window and appends means to `log.jsonl`; optionally
+    forwards to wandb when available+enabled (reference WandBLogger,
+    train.py:108-121)."""
+
+    priority = 300
+
+    def __init__(self, log_dir, trigger, use_wandb: bool = False, wandb_kwargs=None):
+        super().__init__(trigger)
+        self.log_path = Path(log_dir) / "log.jsonl"
+        self.use_wandb = use_wandb
+        self.wandb_kwargs = wandb_kwargs or {}
+        self._wandb = None
+
+    def initialize(self, trainer: Trainer):
+        if self.use_wandb and _is_main_process():
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(**self.wandb_kwargs)
+            except ImportError:
+                logger.warning("wandb not available; falling back to jsonl only")
+
+    def run(self, trainer: Trainer):
+        means = trainer.reporter.flush()
+        if not means:
+            return
+        means["iteration"] = trainer.updater.iteration
+        means["epoch"] = trainer.updater.epoch
+        if _is_main_process():
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(means) + "\n")
+            if self._wandb is not None:
+                self._wandb.log(means, step=trainer.updater.iteration)
+
+    def finalize(self, trainer: Trainer):
+        self.run(trainer)
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class LRReporter(Extension):
+    """Reports the current learning rate(s) from schedule fns."""
+
+    priority = 150
+
+    def __init__(self, schedules: Dict[str, Callable], trigger):
+        super().__init__(trigger)
+        self.schedules = schedules
+
+    def run(self, trainer: Trainer):
+        it = trainer.updater.iteration
+        for name, sched in self.schedules.items():
+            trainer.reporter.add_observation(
+                {name: float(np.asarray(sched(it)))}, prefix="lr"
+            )
+
+
+class ImagePlotter(Extension):
+    """Renders a fixed probe set through `render_fn(trainer) -> uint8 HWC
+    image` and writes PNGs under `<log_dir>/images` (reference ImagePlotter
+    subclasses, SURVEY §2.8)."""
+
+    priority = 400
+
+    def __init__(self, render_fn: Callable[[Trainer], np.ndarray], log_dir, trigger):
+        super().__init__(trigger)
+        self.render_fn = render_fn
+        self.image_dir = Path(log_dir) / "images"
+
+    def run(self, trainer: Trainer):
+        if not _is_main_process():
+            return
+        image = np.asarray(self.render_fn(trainer))
+        self.image_dir.mkdir(parents=True, exist_ok=True)
+        from PIL import Image
+
+        Image.fromarray(image).save(
+            self.image_dir / f"iter_{trainer.updater.iteration:08d}.png"
+        )
+
+
+class Evaluator(Extension):
+    """Runs `eval_fn(trainer) -> dict of scalars` and reports under an
+    `evaluation` prefix (reference Evaluator + FIDScore extensions)."""
+
+    priority = 250
+
+    def __init__(self, eval_fn: Callable[[Trainer], Dict[str, float]], trigger,
+                 prefix: str = "evaluation"):
+        super().__init__(trigger)
+        self.eval_fn = eval_fn
+        self.prefix = prefix
+
+    def run(self, trainer: Trainer):
+        metrics = self.eval_fn(trainer)
+        if metrics:
+            trainer.reporter.add_observation(metrics, prefix=self.prefix)
+
+    def finalize(self, trainer: Trainer):
+        self.run(trainer)

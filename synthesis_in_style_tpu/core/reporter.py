@@ -1,0 +1,52 @@
+"""Scalar observation aggregation (replaces pytorch_training's Reporter,
+used by reference updaters e.g. stylegan_2_updater.py:205-221)."""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Dict, Mapping
+
+import numpy as np
+
+_local = threading.local()
+
+
+class Reporter:
+    """Accumulates named scalar observations; loggers drain window means."""
+
+    def __init__(self):
+        self._values: Dict[str, list] = defaultdict(list)
+
+    def add_observation(self, values: Mapping[str, float] | float, prefix: str = ""):
+        if not isinstance(values, Mapping):
+            values = {"value": values}
+        for name, value in values.items():
+            key = f"{prefix}/{name}" if prefix else name
+            self._values[key].append(float(np.asarray(value)))
+
+    def flush(self) -> Dict[str, float]:
+        means = {k: float(np.mean(v)) for k, v in self._values.items() if v}
+        self._values.clear()
+        return means
+
+    def peek_latest(self) -> Dict[str, float]:
+        return {k: v[-1] for k, v in self._values.items() if v}
+
+    @contextmanager
+    def scope(self):
+        prev = getattr(_local, "reporter", None)
+        _local.reporter = self
+        try:
+            yield self
+        finally:
+            _local.reporter = prev
+
+
+def get_current_reporter() -> Reporter:
+    reporter = getattr(_local, "reporter", None)
+    if reporter is None:
+        reporter = Reporter()
+        _local.reporter = reporter
+    return reporter

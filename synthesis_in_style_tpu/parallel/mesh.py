@@ -1,0 +1,63 @@
+"""Device-mesh utilities — the TPU-native replacement for the reference's
+entire distributed substrate (DDP + NCCL/Gloo process groups + DistributedSampler
++ manual reduce_sum/all_gather, SURVEY.md §2.6).
+
+Data parallelism here is: params replicated over a 1-D ("data",) mesh, batches
+sharded on axis 0, and one `jax.jit` over the whole train step — XLA inserts
+the gradient psum the reference got from DDP backward hooks, and every
+`jnp.mean` over the batch is automatically the global collective the reference
+coded by hand (e.g. the path-length mean, stylegan_2_updater.py:193-195).
+
+Multi-host: `jax.distributed.initialize()` + per-host data loading with
+`jax.make_array_from_process_local_data` replaces DistributedSampler.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first `n_devices` devices. With multiple axis
+    names, `shape` gives the per-axis sizes (e.g. (4, 2) for ("data","model"))."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Shard array(s) along dim 0 over the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh, axis))
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This host's slice of the global batch (multi-host data loading;
+    replaces DistributedSampler, utils/data_loading.py:53-57)."""
+    per_host = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

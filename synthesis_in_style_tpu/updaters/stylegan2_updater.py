@@ -1,0 +1,295 @@
+"""StyleGAN2 training step — TPU-native (reference updater/stylegan_2_updater.py).
+
+Capability parity, re-designed functionally:
+
+* D step / G step / EMA fused into jitted pure functions over one immutable
+  `GANTrainState` pytree (reference mutates four torch modules in place).
+* Lazy regularization (R1 every `d_reg_every`=16, path-length every
+  `g_reg_every`=4, stylegan_2_updater.py:144-200) is dispatched host-side on
+  the iteration counter — four separately-jitted step functions, each compiled
+  once, instead of the reference's `conv2d_gradfix` machinery; JAX grad-of-grad
+  handles the double backward natively.
+* Style mixing prob 0.9 (ref :78-82) is traced: `inject_index = n_latent`
+  (no mixing) vs uniform(1, n_latent-1), selected by a PRNG draw, so one
+  compiled graph covers both branches.
+* The path-length mean is all-reduced across data-parallel workers for free:
+  under a sharded jit, `jnp.mean` over the global batch IS the collective the
+  reference does by hand via `reduce_sum` (distributed/__init__.py:4-14).
+* EMA decay 0.5 ** (32 / (10 * 1000)) (ref :33).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from synthesis_in_style_tpu.core.updater import Updater
+from synthesis_in_style_tpu.losses.gan import d_logistic_loss, g_nonsaturating_loss
+
+
+@flax.struct.dataclass
+class StyleGAN2Config:
+    r1_weight: float = 10.0
+    path_reg_weight: float = 2.0
+    d_reg_every: int = 16
+    g_reg_every: int = 4
+    mixing_prob: float = 0.9
+    path_batch_shrink: int = 2
+    ema_decay: float = 0.5 ** (32 / (10 * 1000))
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    g_params: Any
+    d_params: Any
+    g_ema: Any
+    g_noises: Any
+    g_opt: Any
+    d_opt: Any
+    mean_path_length: jax.Array
+    step: jax.Array
+
+
+def create_gan_train_state(
+    gen,
+    disc,
+    key: jax.Array,
+    image_size: int,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+) -> GANTrainState:
+    kg, kd, kn = jax.random.split(key, 3)
+    z = jnp.zeros((2, gen.style_dim))
+    g_vars = gen.init({"params": kg, "noise": kn}, [z])
+    d_vars = disc.init(kd, jnp.zeros((2, image_size, image_size, 3)))
+    g_params = g_vars["params"]
+    return GANTrainState(
+        g_params=g_params,
+        d_params=d_vars["params"],
+        g_ema=jax.tree_util.tree_map(jnp.copy, g_params),  # real copy: donation-safe
+        g_noises=g_vars.get("noises", {}),
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_vars["params"]),
+        mean_path_length=jnp.zeros(()),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _mixed_forward(gen, g_vars, z1, z2, inject_index, noise_key, **kwargs):
+    return gen.apply(
+        g_vars,
+        [z1, z2],
+        inject_index=inject_index,
+        rngs={"noise": noise_key},
+        **kwargs,
+    )
+
+
+def _sample_inject_index(rng, mixing_prob: float, n_latent: int):
+    """inject_index == n_latent means "no mixing" (all layers take style 0)."""
+    k_flip, k_idx = jax.random.split(rng)
+    mixed = jax.random.uniform(k_flip) < mixing_prob
+    idx = jax.random.randint(k_idx, (), 1, n_latent)
+    return jnp.where(mixed, idx, n_latent)
+
+
+def make_train_steps(
+    gen,
+    disc,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    cfg: StyleGAN2Config,
+    batch_size: int,
+    donate: bool = True,
+) -> Dict[str, Callable]:
+    """Build the four jitted step functions. All take (state, [real,] rng) and
+    return (state, metrics)."""
+
+    n_latent = gen.n_latent
+    style_dim = gen.style_dim
+
+    def _fake_images(g_params, g_noises, rng, batch):
+        kz1, kz2, kmix, knoise = jax.random.split(rng, 4)
+        z1 = jax.random.normal(kz1, (batch, style_dim))
+        z2 = jax.random.normal(kz2, (batch, style_dim))
+        inject = _sample_inject_index(kmix, cfg.mixing_prob, n_latent)
+        img, _ = _mixed_forward(
+            gen, {"params": g_params, "noises": g_noises}, z1, z2, inject, knoise
+        )
+        return img
+
+    # ---------------- D step (ref :123-142) ----------------
+    def d_step(state: GANTrainState, real: jax.Array, rng: jax.Array):
+        fake = _fake_images(state.g_params, state.g_noises, rng, real.shape[0])
+
+        def loss_fn(d_params):
+            fake_pred = disc.apply({"params": d_params}, fake)
+            real_pred = disc.apply({"params": d_params}, real)
+            loss = d_logistic_loss(real_pred, fake_pred)
+            return loss, (jnp.mean(real_pred), jnp.mean(fake_pred))
+
+        (loss, (real_score, fake_score)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.d_params)
+        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        state = state.replace(d_params=d_params, d_opt=d_opt)
+        return state, {
+            "discriminator_loss": loss,
+            "real_score": real_score,
+            "fake_score": fake_score,
+        }
+
+    # ---------------- R1 regularization (ref :144-156) ----------------
+    def d_reg_step(state: GANTrainState, real: jax.Array):
+        def loss_fn(d_params):
+            def d_sum(x):
+                return jnp.sum(disc.apply({"params": d_params}, x))
+
+            grad_x = jax.grad(d_sum)(real)
+            r1 = jnp.mean(jnp.sum(jnp.square(grad_x), axis=(1, 2, 3)))
+            # weight folding: r1_weight/2 * r1 * interval (ref :152)
+            return cfg.r1_weight / 2.0 * r1 * cfg.d_reg_every, r1
+
+        (loss, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        state = state.replace(d_params=d_params, d_opt=d_opt)
+        return state, {"r1_penalty": r1}
+
+    # ---------------- G step + EMA (ref :158-173, :53-60) ----------------
+    def g_step(state: GANTrainState, rng: jax.Array):
+        def loss_fn(g_params):
+            fake = _fake_images(g_params, state.g_noises, rng, batch_size)
+            fake_pred = disc.apply({"params": state.d_params}, fake)
+            return g_nonsaturating_loss(fake_pred)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.g_params)
+        updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        g_ema = jax.tree_util.tree_map(
+            lambda e, p: e * cfg.ema_decay + (1 - cfg.ema_decay) * p,
+            state.g_ema,
+            g_params,
+        )
+        state = state.replace(
+            g_params=g_params, g_opt=g_opt, g_ema=g_ema,
+            step=state.step + 1,
+        )
+        return state, {"generator_loss": loss}
+
+    # ---------------- path-length regularization (ref :175-200) ----------
+    def g_reg_step(state: GANTrainState, rng: jax.Array):
+        path_batch = max(1, batch_size // cfg.path_batch_shrink)
+        kz1, kz2, kmix, knoise, kpl = jax.random.split(rng, 5)
+        z1 = jax.random.normal(kz1, (path_batch, style_dim))
+        z2 = jax.random.normal(kz2, (path_batch, style_dim))
+        inject = _sample_inject_index(kmix, cfg.mixing_prob, n_latent)
+
+        def loss_fn(g_params):
+            g_vars = {"params": g_params, "noises": state.g_noises}
+            # build the (B, n_latent, D) latent explicitly so we can vjp wrt it
+            w1 = gen.apply(g_vars, z1, method=type(gen).style)
+            w2 = gen.apply(g_vars, z2, method=type(gen).style)
+            layer_pos = jnp.arange(n_latent)[None, :, None]
+            latent = jnp.where(
+                layer_pos < inject, w1[:, None, :], w2[:, None, :]
+            )
+
+            def synth(lat):
+                img, _ = gen.apply(
+                    g_vars, [lat], input_is_latent=True, rngs={"noise": knoise}
+                )
+                return img
+
+            img, vjp_fn = jax.vjp(synth, latent)
+            h, w = img.shape[1], img.shape[2]
+            noise_img = jax.random.normal(kpl, img.shape) / math.sqrt(h * w)
+            (grad_lat,) = vjp_fn(noise_img)
+            path_lengths = jnp.sqrt(
+                jnp.mean(jnp.sum(jnp.square(grad_lat), axis=2), axis=1)
+            )
+            # decay-0.01 running mean; under sharded jit this mean is global
+            path_mean = state.mean_path_length + 0.01 * (
+                jnp.mean(path_lengths) - state.mean_path_length
+            )
+            path_loss = jnp.mean(jnp.square(path_lengths - path_mean))
+            weighted = (
+                cfg.path_reg_weight * cfg.g_reg_every * path_loss
+                + 0.0 * img[0, 0, 0, 0]  # keep all params in the graph (ref :188)
+            )
+            return weighted, (path_loss, path_mean, jnp.mean(path_lengths))
+
+        (loss, (path_loss, path_mean, path_len)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.g_params)
+        updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        state = state.replace(
+            g_params=g_params, g_opt=g_opt, mean_path_length=path_mean
+        )
+        return state, {
+            "path_loss": path_loss,
+            "path_length": path_len,
+            "mean_path_length": path_mean,
+        }
+
+    donate_kw = dict(donate_argnums=(0,)) if donate else {}
+    return {
+        "d_step": jax.jit(d_step, **donate_kw),
+        "d_reg_step": jax.jit(d_reg_step, **donate_kw),
+        "g_step": jax.jit(g_step, **donate_kw),
+        "g_reg_step": jax.jit(g_reg_step, **donate_kw),
+    }
+
+
+class StyleGAN2Updater(Updater):
+    """Host-side loop body: D → (R1 every 16) → G (+EMA) → (PL every 4)
+    (reference update_core order, stylegan_2_updater.py:202-223)."""
+
+    def __init__(
+        self,
+        gen,
+        disc,
+        g_tx,
+        d_tx,
+        state: GANTrainState,
+        iterators,
+        batch_size: int,
+        cfg: Optional[StyleGAN2Config] = None,
+        seed: int = 0,
+    ):
+        super().__init__(iterators, seed=seed)
+        self.cfg = cfg or StyleGAN2Config()
+        self.gen = gen
+        self.disc = disc
+        self.state = state
+        self.steps = make_train_steps(
+            gen, disc, g_tx, d_tx, self.cfg, batch_size
+        )
+
+    def update_core(self):
+        real = jnp.asarray(self.next_batch("images"))
+        metrics = {}
+
+        self.state, m = self.steps["d_step"](self.state, real, self.next_rng())
+        metrics.update(m)
+
+        if self.cfg.d_reg_every > 0 and self.iteration % self.cfg.d_reg_every == 0:
+            self.state, m = self.steps["d_reg_step"](self.state, real)
+            metrics.update(m)
+
+        self.state, m = self.steps["g_step"](self.state, self.next_rng())
+        metrics.update(m)
+
+        if self.cfg.g_reg_every > 0 and self.iteration % self.cfg.g_reg_every == 0:
+            self.state, m = self.steps["g_reg_step"](self.state, self.next_rng())
+            metrics.update(m)
+
+        self.report({k: v for k, v in metrics.items()}, prefix="train")

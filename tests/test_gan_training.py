@@ -1,0 +1,135 @@
+"""GAN training-step tests: all four jitted steps run, losses are finite,
+params actually move, EMA tracks, and the whole thing works data-parallel on
+the 8-device CPU mesh (something the reference never tested, SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from synthesis_in_style_tpu.models.stylegan2 import Discriminator, Generator
+from synthesis_in_style_tpu.parallel import make_mesh, replicate, shard_batch
+from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+    GANTrainState,
+    StyleGAN2Config,
+    StyleGAN2Updater,
+    create_gan_train_state,
+    make_train_steps,
+)
+
+SIZE = 16
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen = Generator(size=SIZE, style_dim=32, n_mlp=2)
+    disc = Discriminator(size=SIZE)
+    g_tx = optax.adam(2e-3, b1=0.0, b2=0.99)
+    d_tx = optax.adam(2e-3, b1=0.0, b2=0.99)
+    state = create_gan_train_state(
+        gen, disc, jax.random.PRNGKey(0), SIZE, g_tx, d_tx
+    )
+    cfg = StyleGAN2Config()
+    steps = make_train_steps(gen, disc, g_tx, d_tx, cfg, BATCH, donate=False)
+    return gen, disc, g_tx, d_tx, state, steps
+
+
+def _real_batch(key):
+    return jax.random.normal(key, (BATCH, SIZE, SIZE, 3))
+
+
+def test_d_step(setup):
+    *_, state, steps = setup
+    real = _real_batch(jax.random.PRNGKey(1))
+    new_state, m = steps["d_step"](state, real, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["discriminator_loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.d_params, new_state.d_params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # G untouched by D step
+    same = jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.all(a == b)), state.g_params, new_state.g_params
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_d_reg_step_r1(setup):
+    *_, state, steps = setup
+    real = _real_batch(jax.random.PRNGKey(1))
+    new_state, m = steps["d_reg_step"](state, real)
+    assert np.isfinite(float(m["r1_penalty"]))
+    assert float(m["r1_penalty"]) > 0
+
+
+def test_g_step_and_ema(setup):
+    *_, state, steps = setup
+    new_state, m = steps["g_step"](state, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["generator_loss"]))
+    # EMA must have moved toward (tiny step of) the new params but not equal them
+    diffs = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.max(jnp.abs(e - p))), new_state.g_ema, new_state.g_params
+    )
+    leaves = jax.tree_util.tree_leaves(diffs)
+    assert max(leaves) > 0  # not equal to raw params
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_g_reg_step_path_length(setup):
+    *_, state, steps = setup
+    new_state, m = steps["g_reg_step"](state, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["path_loss"]))
+    assert float(m["mean_path_length"]) != 0.0
+
+
+def test_full_updater_loop(setup):
+    gen, disc, g_tx, d_tx, state, _ = setup
+
+    class FakeLoader:
+        epoch = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return np.random.RandomState(0).randn(BATCH, SIZE, SIZE, 3).astype("f4")
+
+    # the updater's steps donate their input state — give it a private copy
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    updater = StyleGAN2Updater(
+        gen, disc, g_tx, d_tx, state_copy,
+        iterators={"images": FakeLoader()},
+        batch_size=BATCH,
+        cfg=StyleGAN2Config(d_reg_every=2, g_reg_every=2),
+    )
+    for _ in range(4):
+        updater.update()
+    assert updater.iteration == 4
+    assert np.isfinite(float(updater.state.mean_path_length))
+
+
+def test_data_parallel_gan_step(setup, eight_devices):
+    """Full D+G step with state replicated and batch sharded over 8 devices."""
+    gen, disc, g_tx, d_tx, state, steps = setup
+    mesh = make_mesh(8)
+    state_r = replicate(mesh, state)
+    real = shard_batch(mesh, np.random.RandomState(0).randn(BATCH, SIZE, SIZE, 3).astype("f4"))
+
+    new_state, m_sharded = steps["d_step"](state_r, real, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m_sharded["discriminator_loss"]))
+    new_state, m = steps["g_step"](new_state, jax.random.PRNGKey(6))
+    assert np.isfinite(float(m["generator_loss"]))
+    new_state, m = steps["g_reg_step"](new_state, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["path_loss"]))
+
+    # parity: sharded loss == single-device loss (same rng, same data)
+    _, m_single = steps["d_step"](
+        state, jnp.asarray(np.asarray(real)), jax.random.PRNGKey(5)
+    )
+    np.testing.assert_allclose(
+        float(m_sharded["discriminator_loss"]),
+        float(m_single["discriminator_loss"]),
+        rtol=1e-5,
+    )
