@@ -1,0 +1,72 @@
+"""Headline benchmark: StyleGAN2 256px document synthesis throughput on one
+TPU chip (BASELINE.json metric: "StyleGAN2 synth images/sec/chip at 256px").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement notes:
+* The reference publishes no numbers (BASELINE.md); `vs_baseline` is the ratio
+  to a documented 60 img/s estimate for the reference's torch pipeline on a
+  single V100-class GPU at 256px (batch inference incl. activation capture).
+* Over the axon relay, `block_until_ready` can return before execution
+  completes, so the generation loop runs device-side (`lax.fori_loop`) with a
+  scalar accumulator and the timed region includes the value fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_SEC = 60.0  # documented estimate, see module docstring
+BATCH = 16
+N_ITERS = 30
+SIZE = 256
+
+
+def main() -> None:
+    from synthesis_in_style_tpu.models.stylegan2 import Generator
+
+    gen = Generator(size=SIZE, style_dim=512, n_mlp=8)
+    z0 = jnp.zeros((BATCH, 512))
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, [z0]
+    )
+
+    @jax.jit
+    def synth_loop(variables, key):
+        def body(i, acc):
+            kz, kn = jax.random.split(jax.random.fold_in(key, i))
+            z = jax.random.normal(kz, (BATCH, 512))
+            img, _ = gen.apply(variables, [z], rngs={"noise": kn})
+            return acc + jnp.mean(jnp.abs(img))
+
+        return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+
+    # compile + warm up (fetch forces completion over the relay)
+    float(synth_loop(variables, jax.random.PRNGKey(2)))
+
+    best = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        val = float(synth_loop(variables, jax.random.PRNGKey(3 + trial)))
+        dt = time.perf_counter() - t0
+        assert val == val, "NaN accumulator"
+        best = max(best, BATCH * N_ITERS / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stylegan2_synth_images_per_sec_256px",
+                "value": round(best, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
