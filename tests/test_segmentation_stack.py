@@ -1,0 +1,239 @@
+"""Segmentation stack tests: DocUFCN shapes/jit, color<->class mapping
+(port of reference tests/test_segmentation_dataset.py), augmentation
+invariants, data loader sharding/epochs, and a train-step smoke test."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from PIL import Image
+
+from synthesis_in_style_tpu.data import AugmentedSegmentationDataset, DataLoader, SegmentationDataset
+from synthesis_in_style_tpu.models.base_segmenter import (
+    predict_classes,
+    predict_probabilities,
+    remove_too_small_contours,
+)
+from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN, get_doc_ufcn
+from synthesis_in_style_tpu.updaters.segmentation_updater import (
+    create_seg_train_state,
+    make_standard_train_step,
+    make_transunet_train_step,
+)
+from synthesis_in_style_tpu.utils.augmentation import PairedAugmenter
+from synthesis_in_style_tpu.utils.segmentation_utils import (
+    class_image_to_segmentation_image,
+    segmentation_image_to_class_image,
+)
+
+CLASS_TO_COLOR = {
+    "background": [0, 0, 0],
+    "printed_text": [0, 255, 255],
+    "handwritten_text": [255, 0, 255],
+}
+
+
+# ---------------- color <-> class mapping (reference test port) ------------
+
+def test_segmentation_image_to_class_image():
+    """Reference tests/test_segmentation_dataset.py:18-47 — exact 4x4 map."""
+    colors = {k: tuple(v) for k, v in CLASS_TO_COLOR.items()}
+    seg = np.zeros((4, 4, 3), np.uint8)
+    seg[0, :2] = colors["printed_text"]
+    seg[1, 2:] = colors["handwritten_text"]
+    seg[3, 1] = colors["printed_text"]
+    class_img = segmentation_image_to_class_image(seg, CLASS_TO_COLOR)
+    expected = np.zeros((4, 4), np.uint8)
+    expected[0, :2] = 1
+    expected[1, 2:] = 2
+    expected[3, 1] = 1
+    np.testing.assert_array_equal(class_img, expected)
+
+
+def test_class_color_roundtrip():
+    rng = np.random.default_rng(0)
+    class_img = rng.integers(0, 3, (8, 8)).astype(np.uint8)
+    seg = class_image_to_segmentation_image(class_img, CLASS_TO_COLOR)
+    back = segmentation_image_to_class_image(seg, CLASS_TO_COLOR)
+    np.testing.assert_array_equal(back, class_img)
+
+
+# ---------------- datasets -------------------------------------------------
+
+@pytest.fixture()
+def seg_dataset(tmp_path):
+    color_map_path = tmp_path / "class_to_color_map.json"
+    color_map_path.write_text(json.dumps(CLASS_TO_COLOR))
+    files = []
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        mask = np.zeros((32, 32, 3), np.uint8)
+        mask[8:16, 8:16] = CLASS_TO_COLOR["printed_text"]
+        combined = np.concatenate([img, mask], axis=1)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(combined).save(p)
+        files.append({"file_name": f"img_{i}.png"})
+    json_path = tmp_path / "train.json"
+    json_path.write_text(json.dumps(files))
+    return json_path, color_map_path
+
+
+def test_segmentation_dataset_sample(seg_dataset):
+    json_path, color_map_path = seg_dataset
+    ds = SegmentationDataset(
+        json_path, color_map_path, root=json_path.parent, image_size=32
+    )
+    sample = ds[0]
+    assert sample["images"].shape == (32, 32, 3)
+    assert sample["images"].dtype == np.float32
+    assert sample["images"].min() >= -1.0 and sample["images"].max() <= 1.0
+    assert sample["segmented"].shape == (32, 32)
+    assert set(np.unique(sample["segmented"])) <= {0, 1}
+    assert (sample["segmented"][8:16, 8:16] == 1).all()
+
+
+def test_augmented_dataset_first_pass_is_original(seg_dataset):
+    json_path, color_map_path = seg_dataset
+    ds = AugmentedSegmentationDataset(
+        json_path, color_map_path, root=json_path.parent, image_size=32,
+        num_augmentations=3,
+    )
+    assert len(ds) == 12
+    base = SegmentationDataset(
+        json_path, color_map_path, root=json_path.parent, image_size=32
+    )
+    np.testing.assert_array_equal(ds[1]["images"], base[1]["images"])
+    # augmented copies are reproducible and (almost surely) different
+    a = ds[5]
+    b = ds[5]
+    np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_data_loader_shards_and_epochs(seg_dataset):
+    json_path, color_map_path = seg_dataset
+    ds = SegmentationDataset(
+        json_path, color_map_path, root=json_path.parent, image_size=32
+    )
+    loader = DataLoader(
+        ds, batch_size=2, shuffle=True, num_workers=2, shard_id=0, num_shards=1
+    )
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (2, 32, 32, 3)
+    assert loader.epoch == 1.0
+    # sharding halves the work
+    sharded = DataLoader(
+        ds, batch_size=2, shuffle=False, num_workers=1, shard_id=1, num_shards=2
+    )
+    assert len(sharded) == 1
+
+
+# ---------------- augmentation --------------------------------------------
+
+def test_augmentation_preserves_mask_palette():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    mask = np.zeros((64, 64, 3), np.uint8)
+    mask[20:40, 20:40] = (0, 255, 255)
+    aug = PairedAugmenter()
+    for seed in range(5):
+        a_img, a_mask = aug(img, mask, np.random.default_rng(seed))
+        assert a_img.shape == img.shape and a_mask.shape == mask.shape
+        # nearest-neighbor mask warping: no new colors appear
+        palette = {tuple(c) for c in a_mask.reshape(-1, 3)}
+        assert palette <= {(0, 0, 0), (0, 255, 255)}
+
+
+# ---------------- DocUFCN model --------------------------------------------
+
+@pytest.mark.parametrize("version", ["base", "no_dropout", "pixelshuffle"])
+def test_doc_ufcn_output_shape(version):
+    model = get_doc_ufcn(version)(num_classes=3)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_doc_ufcn_train_mode_uses_dropout_and_bn():
+    model = DocUFCN(num_classes=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    assert "batch_stats" in variables
+    out, new_state = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 32, 32, 2)
+    # running stats moved
+    leaves_before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_before, leaves_after)
+    )
+
+
+# ---------------- predict/postprocess --------------------------------------
+
+def test_predict_probabilities_threshold():
+    logits = jnp.zeros((1, 4, 4, 2))
+    probs = predict_probabilities(logits, min_confidence=0.7)
+    np.testing.assert_allclose(np.asarray(probs), 0.0)
+    probs = predict_probabilities(logits, min_confidence=0.3)
+    np.testing.assert_allclose(np.asarray(probs), 0.5)
+
+
+def test_remove_too_small_contours():
+    probs = np.zeros((1, 32, 32, 2), np.float32)
+    probs[0, 2:4, 2:4, 1] = 1.0      # tiny 2x2 region -> removed
+    probs[0, 10:28, 10:28, 1] = 1.0  # big 18x18 region -> kept
+    out = remove_too_small_contours(probs, min_contour_area=50)
+    assert out[0, 2:4, 2:4, 1].sum() == 0
+    assert out[0, 12:26, 12:26, 1].sum() > 0
+
+
+# ---------------- training smoke test ---------------------------------------
+
+def test_standard_train_step_decreases_loss():
+    model = DocUFCN(num_classes=2, encoder_dropout=0.0, decoder_dropout=0.0)
+    tx = optax.adam(1e-3)
+    state = create_seg_train_state(model, jax.random.PRNGKey(0), 16, tx)
+    step = make_standard_train_step(model, tx, class_weights=jnp.ones(2), donate=False)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    labels = jnp.asarray((rng.uniform(size=(4, 16, 16)) > 0.5).astype(np.int32))
+    batch = {"images": images, "segmented": labels}
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["softmax"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_transunet_style_loss_combination():
+    model = DocUFCN(num_classes=3, encoder_dropout=0.0, decoder_dropout=0.0)
+    tx = optax.sgd(1e-2)
+    state = create_seg_train_state(model, jax.random.PRNGKey(0), 16, tx)
+    step = make_transunet_train_step(model, tx, num_classes=3, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+        "segmented": jnp.asarray(rng.integers(0, 3, (2, 16, 16)).astype(np.int32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert {"combined", "CE", "Dice"} <= set(metrics)
+    np.testing.assert_allclose(
+        float(metrics["combined"]),
+        0.5 * float(metrics["CE"]) + 0.5 * float(metrics["Dice"]),
+        rtol=1e-5,
+    )
