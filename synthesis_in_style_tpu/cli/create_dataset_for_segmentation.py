@@ -1,0 +1,219 @@
+"""Synthesize a labelled segmentation dataset from a trained generator.
+
+Capability parity with the reference CLI
+(/root/reference/stylegan_code_finder/create_dataset_for_segmentation.py):
+same flags, same output layout (sharded [image|mask] PNG pairs, 90/10
+train/val split JSONs with per-image `has_<class>` flags, coco_gt.json).
+
+TPU-first: synthesis + activation capture + k-means cluster assignment +
+mask resize run as one jitted program per batch on the TPU; only the boolean
+class masks cross to the host for the contour/classification stage.
+
+Usage:
+  python -m synthesis_in_style_tpu.cli.create_dataset_for_segmentation \
+      <checkpoint> <config.json> -n 1000 -b 10 --num-clusters 17
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import random
+import traceback
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from synthesis_in_style_tpu.core.config import global_config, load_config_from_checkpoint
+from synthesis_in_style_tpu.evaluation.coco_gt import (
+    COCOGtCreator,
+    iter_through_images_in,
+)
+from synthesis_in_style_tpu.models.factory import load_generator
+from synthesis_in_style_tpu.segmentation.dataset_segmenter import (
+    BaseDatasetSegmenter,
+    BlackWhiteHandwrittenPrintedTextDatasetSegmenter,
+)
+from synthesis_in_style_tpu.utils.dataset_creation import (
+    build_latent_and_noise_generator,
+    compute_mean_latent,
+    get_base_dirs,
+    make_generate_fn,
+    make_image,
+    save_generated_images,
+)
+
+
+def get_dataset_segmenter(
+    args: argparse.Namespace,
+    creation_config: dict,
+    image_size: int,
+    semantic_segmentation_base_dir: Path,
+) -> BaseDatasetSegmenter:
+    """Reference get_dataset_segmenter (create_dataset_for_segmentation.py:52-81)."""
+    if creation_config["segmenter_type"] == "black_white_handwritten_printed":
+        assert "only_keep_overlapping" in creation_config, (
+            'The key "only_keep_overlapping" must be specified in the config file.'
+        )
+        segmenter_class = functools.partial(
+            BlackWhiteHandwrittenPrintedTextDatasetSegmenter,
+            keys_to_merge=creation_config["keys_to_merge"],
+            only_keep_overlapping=creation_config["only_keep_overlapping"],
+            keys_for_class_determination=creation_config["keys_for_class_determination"],
+            keys_for_finegrained_segmentation=creation_config[
+                "keys_for_finegrained_segmentation"
+            ],
+            num_clusters=args.num_clusters,
+            min_class_contour_area=creation_config["min_class_contour_area"],
+        )
+    elif creation_config["segmenter_type"] == "dataset_gan":
+        from synthesis_in_style_tpu.segmentation.dataset_gan_segmenter import (
+            DatasetGANSegmenter,
+        )
+
+        segmenter_class = functools.partial(
+            DatasetGANSegmenter,
+            classifier_path=args.classifier_path,
+        )
+    else:
+        raise NotImplementedError
+    return segmenter_class(
+        base_dir=semantic_segmentation_base_dir,
+        image_size=image_size,
+        class_to_color_map=creation_config["class_to_color_map"],
+    )
+
+
+def build_dataset(
+    args: argparse.Namespace,
+    creation_config: Dict,
+    original_config_path: Optional[Path] = None,
+) -> None:
+    """Hot loop (reference build_dataset :109-148): synth batch → segment →
+    drop bad images → save PNG pairs."""
+    config = load_config_from_checkpoint(args.checkpoint, original_config_path)
+    config["batch_size"] = args.batch_size
+    image_save_base_dir, semantic_segmentation_base_dir = get_base_dirs(args)
+
+    gen, variables = load_generator(args.checkpoint, config)
+    mean_latent = (
+        compute_mean_latent(gen, variables) if args.truncate else None
+    )
+    generate = make_generate_fn(gen, variables, truncation_latent=mean_latent)
+
+    segmenter = get_dataset_segmenter(
+        args, creation_config, config["image_size"], semantic_segmentation_base_dir
+    )
+    latent_stream = build_latent_and_noise_generator(
+        config, seed=creation_config["seed"]
+    )
+
+    generated = 0
+    while generated < args.num_images:
+        z = next(latent_stream)
+        activations, images = generate(z)
+        label_images, image_ids_to_drop = segmenter.create_segmentation_image(
+            activations
+        )
+        images = make_image(images)
+        images = np.delete(images, image_ids_to_drop, axis=0)
+        label_images = np.delete(label_images, image_ids_to_drop, axis=0)
+
+        if len(label_images) > 0:
+            save_generated_images(
+                images, label_images, generated, image_save_base_dir, args.num_images
+            )
+        generated += len(label_images)
+        print(f"\rCreating images: {min(generated, args.num_images)}/{args.num_images}",
+              end="", flush=True)
+    print()
+
+
+def create_dataset_json_data(
+    image_paths: List[Path], image_root: Path, gt_creator: COCOGtCreator
+) -> Tuple[List[dict], bool]:
+    """Reference create_dataset_json_data :151-166 (partial-result `.part`
+    protocol on failure)."""
+    dataset_data = []
+    try:
+        for image_path in image_paths:
+            with Image.open(str(image_path)) as the_image:
+                data = {"file_name": str(image_path.relative_to(image_root))}
+                data.update(gt_creator.determine_classes_in_image(the_image))
+            dataset_data.append(data)
+    except Exception:  # noqa: BLE001 — parity with reference bare except
+        print(traceback.format_exc())
+        return dataset_data, False
+    return dataset_data, True
+
+
+def main(args: argparse.Namespace) -> None:
+    with open(args.config) as f:
+        creation_config = json.load(f)
+
+    if not args.only_create_train_val_split:
+        build_dataset(args, creation_config, original_config_path=args.original_config_path)
+
+    image_save_base_dir, _ = get_base_dirs(args)
+    generated_images = list(iter_through_images_in(image_save_base_dir))
+    random.seed(creation_config["seed"])
+    random.shuffle(generated_images)
+
+    coco_creator = COCOGtCreator(
+        creation_config["class_to_color_map"], image_root=image_save_base_dir
+    )
+
+    split_index = int(len(generated_images) * 0.9)
+    training_images = generated_images[:split_index]
+    validation_images = generated_images[split_index:]
+
+    training_gt, success = create_dataset_json_data(
+        training_images, image_save_base_dir, coco_creator
+    )
+    with (image_save_base_dir / ("train.json" if success else "train.json.part")).open(
+        "w"
+    ) as f:
+        json.dump(training_gt, f)
+
+    validation_gt, success = create_dataset_json_data(
+        validation_images, image_save_base_dir, coco_creator
+    )
+    with (image_save_base_dir / ("val.json" if success else "val.json.part")).open(
+        "w"
+    ) as f:
+        json.dump(validation_gt, f)
+
+    coco_gt = coco_creator.create_coco_gt_from_image_paths(validation_images)
+    with (image_save_base_dir / "coco_gt.json").open("w") as f:
+        json.dump(coco_gt, f)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Generate a synthetic dataset using a trained StyleGAN "
+        "model and the labelled intermediate layers specified in a config file."
+    )
+    parser.add_argument("checkpoint", help="Path to trained generator checkpoint")
+    parser.add_argument("config", help="path to json config for generation")
+    parser.add_argument("-op", "--original-config-path", type=Path, default=None)
+    parser.add_argument("-n", "--num-images", type=int, default=100)
+    parser.add_argument("-s", "--save-to", default=None)
+    parser.add_argument("-b", "--batch-size", default=10, type=int)
+    parser.add_argument("--only-create-train-val-split", action="store_true",
+                        default=False)
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--truncate", action="store_true", default=False)
+    parser.add_argument("--num-clusters", type=int, default=-1)
+    parser.add_argument("--classifier-path", default=None)
+    parser.add_argument("-ssd", "--semantic-segmentation-base-dir", type=Path,
+                        default=None)
+    return parser
+
+
+if __name__ == "__main__":
+    parsed = build_parser().parse_args()
+    global_config.debug = parsed.debug
+    main(parsed)

@@ -1,0 +1,356 @@
+"""Contour machinery for cluster-based label synthesis — host-side numpy/cv2.
+
+Behavioral parity with the reference contour pipeline
+(/root/reference/stylegan_code_finder/segmentation/base_cluster_based_dataset_segmenter.py:148-450
+and utils/segmentation_utils.py:67-85), re-designed for throughput:
+
+* The reference's `merge_contours` fixpoint merges ONE overlapping pair per
+  scan and restarts the O(n^2) search (:208-222). Here each round builds the
+  full pairwise-overlap graph (bbox prefilter first), union-finds the
+  connected groups, and merges every group at once by rasterizing the union
+  and taking its external contours; rounds repeat until no pair overlaps.
+  The fixpoint is raster-identical (the reference's own tests canonicalize
+  results by comparing rasterized masks, tests/test_merge_contours.py:51-70)
+  but needs O(rounds) instead of O(merges) scans.
+* Contours are plain OpenCV point arrays; every function is pure (the
+  reference interleaves these with segmenter state).
+
+Data shapes follow the reference conventions:
+  ClassContours       = {class_name: [contours_or_None per image]}
+  ClassContoursForSubImages = {sub_image_key: {class_name: [contours per image]}}
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import cv2
+import numpy as np
+
+Contour = np.ndarray
+ClassContours = Dict[str, List[Optional[List[Contour]]]]
+ClassContoursForSubImages = Dict[str, Dict[str, List[List[Contour]]]]
+
+
+def dilate_image(
+    image: np.ndarray, kernel: Optional[np.ndarray] = None, kernel_size: int = 3
+) -> np.ndarray:
+    """Cross-kernel morphological dilation (reference
+    base_dataset_segmenter.py:52-57)."""
+    if kernel is None:
+        kernel = cv2.getStructuringElement(
+            cv2.MORPH_CROSS, (kernel_size, kernel_size)
+        ).astype(np.uint8)
+    return cv2.morphologyEx(image, cv2.MORPH_DILATE, kernel)
+
+
+def cluster_image_to_contours(cluster_arrays: np.ndarray) -> List[List[Contour]]:
+    """Dilate each (H, W) mask then take external contours (reference
+    base_cluster_based_dataset_segmenter.py:148-154)."""
+    batch_contours = []
+    for image in cluster_arrays:
+        dilated = dilate_image(np.ascontiguousarray(image, dtype=np.uint8))
+        contours, _ = cv2.findContours(
+            dilated, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        batch_contours.append(list(contours))
+    return batch_contours
+
+
+def _contour_bounds(contour: Contour) -> Tuple[int, int, int, int]:
+    """(x_min, y_min, x_max, y_max) inclusive."""
+    pts = contour.reshape(-1, 2)
+    x_min, y_min = pts.min(axis=0)
+    x_max, y_max = pts.max(axis=0)
+    return int(x_min), int(y_min), int(x_max), int(y_max)
+
+
+def _bboxes_overlap(a, b) -> bool:
+    return a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]
+
+
+def _rasterize(contours: Sequence[Contour], bounds=None) -> List[np.ndarray]:
+    """Draw each contour filled on a shared-size canvas (reference
+    draw_contours_on_same_sized_canvases, utils/segmentation_utils.py:74-85)."""
+    if bounds is None:
+        all_pts = np.concatenate([c.reshape(-1, 2) for c in contours])
+        x_min, y_min = all_pts.min(axis=0)
+        x_max, y_max = all_pts.max(axis=0)
+    else:
+        x_min, y_min, x_max, y_max = bounds
+    canvas = np.zeros((y_max - y_min + 1, x_max - x_min + 1), np.uint8)
+    return [
+        cv2.drawContours(canvas.copy(), [c - (x_min, y_min)], 0, 1, cv2.FILLED)
+        for c in contours
+    ]
+
+
+def contour_overlap(contour1: Contour, contour2: Contour) -> int:
+    """Number of shared filled pixels, 0 if bboxes don't intersect
+    (reference contour_overlap, :156-181)."""
+    b1, b2 = _contour_bounds(contour1), _contour_bounds(contour2)
+    if not _bboxes_overlap(b1, b2):
+        return 0
+    bounds = (
+        min(b1[0], b2[0]),
+        min(b1[1], b2[1]),
+        max(b1[2], b2[2]),
+        max(b1[3], b2[3]),
+    )
+    img1, img2 = _rasterize([contour1, contour2], bounds)
+    return int(np.logical_and(img1, img2).sum())
+
+
+def merge_two_contours_if_overlapping(
+    contour1: Contour, contour2: Contour
+) -> Optional[List[Contour]]:
+    """Union the rasters and return the external contours of the result, or
+    None if the pair doesn't overlap (reference :183-191)."""
+    if contour_overlap(contour1, contour2) == 0:
+        return None
+    return _merge_contour_group([contour1, contour2])
+
+
+def _merge_contour_group(contours: Sequence[Contour]) -> List[Contour]:
+    """External contours of the union raster of a group."""
+    all_pts = np.concatenate([c.reshape(-1, 2) for c in contours])
+    x_min, y_min = all_pts.min(axis=0)
+    x_max, y_max = all_pts.max(axis=0)
+    canvas = np.zeros((int(y_max - y_min) + 1, int(x_max - x_min) + 1), np.uint8)
+    for c in contours:
+        cv2.drawContours(canvas, [c - (int(x_min), int(y_min))], 0, 255, cv2.FILLED)
+    merged, _ = cv2.findContours(canvas, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    return [c + (int(x_min), int(y_min)) for c in merged]
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, i: int) -> int:
+        while self.parent[i] != i:
+            self.parent[i] = self.parent[self.parent[i]]
+            i = self.parent[i]
+        return i
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def merge_contours(
+    contours: List[Contour], only_keep_overlapping: bool = False
+) -> List[Contour]:
+    """Fixpoint-merge all transitively-overlapping contours (reference
+    merge_contours, :208-222). With only_keep_overlapping, return only
+    contours that absorbed at least two originals."""
+    # items: (set of original ids, contour)
+    items: List[Tuple[frozenset, Contour]] = [
+        (frozenset([i]), c) for i, c in enumerate(contours)
+    ]
+    changed = True
+    while changed and len(items) > 1:
+        changed = False
+        uf = _UnionFind(len(items))
+        bounds = [_contour_bounds(c) for _, c in items]
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                if uf.find(i) == uf.find(j):
+                    continue
+                if not _bboxes_overlap(bounds[i], bounds[j]):
+                    continue
+                if contour_overlap(items[i][1], items[j][1]) > 0:
+                    uf.union(i, j)
+                    changed = True
+        if not changed:
+            break
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for i in range(len(items)):
+            groups[uf.find(i)].append(i)
+        new_items = []
+        for members in groups.values():
+            if len(members) == 1:
+                new_items.append(items[members[0]])
+                continue
+            ids = frozenset().union(*(items[m][0] for m in members))
+            merged = _merge_contour_group([items[m][1] for m in members])
+            for c in merged:
+                new_items.append((ids, c))
+        items = new_items
+
+    if only_keep_overlapping:
+        return [c for ids, c in items if len(ids) > 1]
+    return [c for _, c in items]
+
+
+def merge_contours_of_same_class_from_different_images(
+    class_contours_for_sub_images: ClassContoursForSubImages,
+    batch_size: int,
+    only_keep_overlapping: bool = False,
+    class_names_to_merge: Tuple[str, ...] = (),
+    drop_if_size_of_contours_zero: bool = False,
+) -> ClassContours:
+    """Cross-sub-image merge (reference :224-294), per class and per image:
+    all-empty → None; drop-if-any-empty policy; single-source passthrough;
+    otherwise fixpoint merge of the flattened contour list."""
+    if len(class_names_to_merge) == 0:
+        class_names_to_merge = tuple(
+            {
+                class_name
+                for sub_image_data in class_contours_for_sub_images.values()
+                for class_name in sub_image_data.keys()
+            }
+        )
+
+    class_to_contours: Dict[str, List[List[List[Contour]]]] = defaultdict(list)
+    for class_contours in class_contours_for_sub_images.values():
+        for class_name, contours in class_contours.items():
+            class_to_contours[class_name].append(contours)
+
+    result: ClassContours = defaultdict(list)
+    for class_name, contours_for_class in class_to_contours.items():
+        for batch_id in range(batch_size):
+            per_sub_image = [c[batch_id] for c in contours_for_class]
+            empties = [len(c) == 0 for c in per_sub_image]
+            if all(empties):
+                result[class_name].append(None)
+                continue
+            if (
+                drop_if_size_of_contours_zero
+                and class_name in class_names_to_merge
+                and any(empties)
+            ):
+                result[class_name].append(None)
+                continue
+            if any(empties):
+                # keep the first non-empty sub image's contours verbatim
+                for sub_contours, empty in zip(per_sub_image, empties):
+                    if not empty:
+                        result[class_name].append(sub_contours)
+                        break
+                continue
+            flat = [c for sub in per_sub_image for c in sub]
+            if class_name not in class_names_to_merge or len(per_sub_image) == 1:
+                result[class_name].append(flat)
+                continue
+            merged = merge_contours(flat, only_keep_overlapping)
+            result[class_name].append(merged if merged else None)
+    return result
+
+
+def merge_contours_of_same_class_from_same_image(
+    class_contours: ClassContours,
+) -> ClassContours:
+    """Per-image merge (reference :296-307)."""
+    merged_all: ClassContours = {}
+    for class_name, batch_contours in class_contours.items():
+        merged_batch = []
+        for contours in batch_contours:
+            merged_batch.append(None if contours is None else merge_contours(contours))
+        merged_all[class_name] = merged_batch
+    return merged_all
+
+
+def drop_too_small_contours(
+    class_contours: ClassContours, min_area: float
+) -> ClassContours:
+    """Area filter (reference :394-406); empties become None."""
+    adjusted: ClassContours = {}
+    for class_name, batch_contours in class_contours.items():
+        adjusted_batch = []
+        for contours in batch_contours:
+            if contours is not None:
+                contours = [c for c in contours if cv2.contourArea(c) >= min_area]
+                if len(contours) == 0:
+                    contours = None
+            adjusted_batch.append(contours)
+        adjusted[class_name] = adjusted_batch
+    return adjusted
+
+
+def classify_fine_grained_contours(
+    text_regions_per_class: ClassContours,
+    fine_grained_contours_per_class: ClassContours,
+    class_id_map: Dict[str, int],
+    fine_grained_class_name: str = "printed_text",
+) -> ClassContours:
+    """Assign each fine-grained contour to the class whose coarse text
+    regions it overlaps most (reference :342-392)."""
+    assert len(text_regions_per_class) == len(fine_grained_contours_per_class), (
+        "Num classes of text regions and fine grained contours must be equal!"
+    )
+    fine_batches = fine_grained_contours_per_class[fine_grained_class_name]
+    text_regions_per_class = dict(
+        sorted(text_regions_per_class.items(), key=lambda x: class_id_map[x[0]])
+    )
+    batch_size = len(fine_batches)
+    ranking: Dict[int, Dict[int, Dict[str, int]]] = {
+        i: defaultdict(dict) for i in range(batch_size)
+    }
+    for class_name, text_regions_batch in text_regions_per_class.items():
+        for batch_id, (text_regions, fine_contours) in enumerate(
+            zip(text_regions_batch, fine_batches)
+        ):
+            if text_regions is None or fine_contours is None or len(fine_contours) == 0:
+                continue
+            for contour_id, fine_contour in enumerate(fine_contours):
+                per_contour = ranking[batch_id][contour_id]
+                per_contour.setdefault(class_name, 0)
+                for text_region in text_regions:
+                    per_contour[class_name] += contour_overlap(
+                        fine_contour, text_region
+                    )
+
+    classified: ClassContours = {
+        class_name: [[] for _ in range(batch_size)]
+        for class_name in text_regions_per_class
+    }
+    for batch_id in range(batch_size):
+        for contour_id, class_ranking in ranking[batch_id].items():
+            best = max(class_ranking, key=class_ranking.get)
+            if class_ranking[best] > 0:
+                classified[best][batch_id].append(fine_batches[batch_id][contour_id])
+        for class_name in text_regions_per_class:
+            if len(classified[class_name][batch_id]) == 0:
+                classified[class_name][batch_id] = None
+    return classified
+
+
+def render_segmentation_image(
+    fine_grained_prediction: Dict[str, np.ndarray],
+    classified_contours: ClassContours,
+    batch_size: int,
+    image_size: int,
+    class_to_color_map: Dict[str, Tuple[int, int, int]],
+    cluster_class_name: str = "printed_text",
+) -> np.ndarray:
+    """Paint (contour mask AND fine cluster mask) per class onto a
+    background-colored canvas (reference :408-450). Returns
+    (B, H, W, 3) uint8."""
+    fine_masks = {
+        name: np.asarray(mask) for name, mask in fine_grained_prediction.items()
+    }
+    images = []
+    for batch_id in range(batch_size):
+        canvas = np.zeros((image_size, image_size, 3), np.uint8)
+        canvas[:, :] = class_to_color_map["background"]
+        for class_name in fine_masks:
+            if class_name == "background":
+                continue
+            batch_contours = classified_contours.get(class_name)
+            contours = batch_contours[batch_id] if batch_contours else None
+            if contours is None:
+                continue
+            for contour in contours:
+                contour_mask = np.zeros((image_size, image_size))
+                contour_mask = cv2.drawContours(
+                    contour_mask, [contour], 0, 1, cv2.FILLED
+                ).astype(bool)
+                fine_mask = np.where(
+                    contour_mask, fine_masks[cluster_class_name][batch_id], False
+                )
+                canvas[fine_mask] = class_to_color_map[class_name]
+        images.append(canvas)
+    return np.stack(images, axis=0)

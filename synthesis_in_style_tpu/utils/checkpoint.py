@@ -1,0 +1,273 @@
+"""Checkpoint IO: orbax pytree snapshots + torch<->flax weight conversion.
+
+* Snapshots are orbax StandardCheckpointer directories keyed by the
+  reference's logical names (`generator`, `discriminator`, `g_ema`,
+  `segmentation_network`, ... — reference Snapshotter usage,
+  train_stylegan_2.py:154-165), written by `core.extensions.Snapshotter`.
+* `torch_generator_to_flax` / `flax_generator_to_torch` convert StyleGAN2 /
+  SWAGAN generator weights between the reference torch layout
+  (networks/stylegan2/model.py, networks/swagan/model.py; torch key names
+  like `style.1.weight`, `convs.0.conv.weight`, `noises.noise_3`) and this
+  package's flax NHWC layout (see models/stylegan2.py module docstring for
+  the per-tensor layout table). Conversion rules:
+    linear weight:      torch (out, in)            -> flax (in, out)
+    conv weight:        torch (out, in, kh, kw)    -> flax (kh, kw, in, out)
+    modulated conv:     torch (1, out, in, kh, kw) -> flax (kh, kw, in, out)
+    constant input:     torch (1, C, 4, 4)         -> flax (1, 4, 4, C)
+    noise buffers:      torch (1, 1, H, W)         -> flax (1, H, W, 1)
+    ToRGB bias:         torch (1, C, 1, 1)         -> flax (C,)
+* `torch_discriminator_to_flax` additionally reorders the final linear's
+  input columns from the torch NCHW flatten (c*16 + y*4 + x) to the flax
+  NHWC flatten (y*4*C + x*C + c).
+
+Loading a reference `.pt` requires torch (present in this image, CPU-only).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax snapshots
+# ---------------------------------------------------------------------------
+
+def save_pytree(path: Union[str, Path], tree: Any) -> None:
+    import jax
+    import orbax.checkpoint as ocp
+
+    tree = jax.tree_util.tree_map(np.asarray, tree)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(path).resolve(), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: Union[str, Path]) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).resolve())
+
+
+def latest_snapshot(checkpoint_dir: Union[str, Path]) -> Optional[Path]:
+    """Newest `iter_XXXXXXXX` snapshot in a checkpoints dir."""
+    checkpoint_dir = Path(checkpoint_dir)
+    if not checkpoint_dir.exists():
+        return None
+    snaps = sorted(checkpoint_dir.glob("iter_*"))
+    return snaps[-1] if snaps else None
+
+
+# ---------------------------------------------------------------------------
+# torch <-> flax generator conversion
+# ---------------------------------------------------------------------------
+
+def _lin_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {"weight": np.asarray(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _modconv_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    w = np.asarray(sd[f"{prefix}.weight"])  # (1, out, in, kh, kw)
+    return {
+        "weight": w[0].transpose(2, 3, 1, 0),  # (kh, kw, in, out)
+        "modulation": _lin_t2f(f"{prefix}.modulation", sd),
+    }
+
+
+def _styled_conv_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {
+        "conv": _modconv_t2f(f"{prefix}.conv", sd),
+        "noise": {"weight": np.asarray(sd[f"{prefix}.noise.weight"]).reshape(1)},
+        "bias": np.asarray(sd[f"{prefix}.activate.bias"]),
+    }
+
+
+def _to_rgb_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {
+        "conv": _modconv_t2f(f"{prefix}.conv", sd),
+        "bias": np.asarray(sd[f"{prefix}.bias"]).reshape(-1),
+    }
+
+
+def torch_generator_to_flax(
+    state_dict: Dict[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Reference generator state_dict -> {"params": ..., "noises": ...} for
+    models.stylegan2.Generator / models.swagan.Generator (both share key
+    structure; SWAGAN's ToRGB simply has 12 output channels)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    params: Dict[str, Any] = {}
+    # style MLP: torch style.0 is PixelNorm (no params); linears are 1..n
+    style_ids = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.fullmatch(r"style\.(\d+)\.weight", k))
+    )
+    for i in style_ids:
+        params[f"style_{i}"] = _lin_t2f(f"style.{i}", sd)
+
+    params["input"] = sd["input.input"].transpose(0, 2, 3, 1)
+    params["conv1"] = _styled_conv_t2f("conv1", sd)
+    params["to_rgb1"] = _to_rgb_t2f("to_rgb1", sd)
+
+    n_convs = len({k.split(".")[1] for k in sd if k.startswith("convs.")})
+    for i in range(n_convs):
+        params[f"convs_{i}"] = _styled_conv_t2f(f"convs.{i}", sd)
+    n_rgbs = len({k.split(".")[1] for k in sd if k.startswith("to_rgbs.")})
+    for i in range(n_rgbs):
+        params[f"to_rgbs_{i}"] = _to_rgb_t2f(f"to_rgbs.{i}", sd)
+
+    noises = {}
+    for k, v in sd.items():
+        if k.startswith("noises.noise_"):
+            name = k.split(".")[1]
+            noises[name] = v.transpose(0, 2, 3, 1)  # (1,1,H,W) -> (1,H,W,1)
+
+    out: Dict[str, Any] = {"params": params}
+    if noises:
+        out["noises"] = noises
+    return out
+
+
+def _lin_f2t(prefix: str, p: Dict[str, np.ndarray], out: Dict[str, np.ndarray]):
+    out[f"{prefix}.weight"] = np.asarray(p["weight"]).T
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _modconv_f2t(prefix: str, p: Dict[str, Any], out: Dict[str, np.ndarray]):
+    w = np.asarray(p["weight"])  # (kh, kw, in, out)
+    out[f"{prefix}.weight"] = w.transpose(3, 2, 0, 1)[None]
+    _lin_f2t(f"{prefix}.modulation", p["modulation"], out)
+
+
+def flax_generator_to_torch(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of torch_generator_to_flax (for exporting checkpoints usable
+    by the reference implementation)."""
+    params = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for name, p in params.items():
+        if name.startswith("style_"):
+            _lin_f2t(f"style.{name.rsplit('_', 1)[1]}", p, sd)
+        elif name == "input":
+            sd["input.input"] = np.asarray(p).transpose(0, 3, 1, 2)
+        elif name == "conv1" or name.startswith("convs_"):
+            t_name = "conv1" if name == "conv1" else f"convs.{name.rsplit('_', 1)[1]}"
+            _modconv_f2t(f"{t_name}.conv", p["conv"], sd)
+            sd[f"{t_name}.noise.weight"] = np.asarray(p["noise"]["weight"]).reshape(1)
+            sd[f"{t_name}.activate.bias"] = np.asarray(p["bias"])
+        elif name == "to_rgb1" or name.startswith("to_rgbs_"):
+            t_name = (
+                "to_rgb1" if name == "to_rgb1" else f"to_rgbs.{name.rsplit('_', 1)[1]}"
+            )
+            _modconv_f2t(f"{t_name}.conv", p["conv"], sd)
+            c = np.asarray(p["bias"]).reshape(-1)
+            sd[f"{t_name}.bias"] = c.reshape(1, -1, 1, 1)
+    for name, buf in variables.get("noises", {}).items():
+        sd[f"noises.{name}"] = np.asarray(buf).transpose(0, 3, 1, 2)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax discriminator conversion (StyleGAN2)
+# ---------------------------------------------------------------------------
+
+def _conv_layer_t2f(prefix: str, sd: Dict[str, np.ndarray],
+                    downsample: bool) -> Dict[str, Any]:
+    """Torch ConvLayer is a Sequential: [Blur,] EqualConv2d [, FusedLeakyReLU].
+    Blur has no params; indices shift with downsample."""
+    conv_idx = 1 if downsample else 0
+    act_idx = conv_idx + 1
+    w = np.asarray(sd[f"{prefix}.{conv_idx}.weight"])  # (out, in, kh, kw)
+    out: Dict[str, Any] = {"conv": {"weight": w.transpose(2, 3, 1, 0)}}
+    if f"{prefix}.{conv_idx}.bias" in sd:
+        out["conv"]["bias"] = np.asarray(sd[f"{prefix}.{conv_idx}.bias"])
+    if f"{prefix}.{act_idx}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.{act_idx}.bias"])
+    return out
+
+
+def torch_discriminator_to_flax(
+    state_dict: Dict[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Reference StyleGAN2 Discriminator state_dict -> flax params for
+    models.stylegan2.Discriminator. Torch layout: convs.0 = input ConvLayer,
+    convs.1..n = ResBlocks, final_conv, final_linear.{0,1}
+    (reference model.py:634-676)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+
+    params["conv_in"] = _conv_layer_t2f("convs.0", sd, downsample=False)
+
+    n_blocks = len({k.split(".")[1] for k in sd if k.startswith("convs.")}) - 1
+    for i in range(n_blocks):
+        t = f"convs.{i + 1}"
+        params[f"blocks_{i}"] = {
+            "conv1": _conv_layer_t2f(f"{t}.conv1", sd, downsample=False),
+            "conv2": _conv_layer_t2f(f"{t}.conv2", sd, downsample=True),
+            "skip": _conv_layer_t2f(f"{t}.skip", sd, downsample=True),
+        }
+
+    params["final_conv"] = _conv_layer_t2f("final_conv", sd, downsample=False)
+
+    # final_linear.0 input is the flattened (C, 4, 4) map; reorder columns
+    # from torch NCHW flatten to flax NHWC flatten
+    w0 = np.asarray(sd["final_linear.0.weight"])  # (out, C*16)
+    out_dim, in_dim = w0.shape
+    c = in_dim // 16
+    w0 = w0.reshape(out_dim, c, 4, 4).transpose(0, 2, 3, 1).reshape(out_dim, in_dim)
+    params["final_linear_0"] = {
+        "weight": w0.T,
+        "bias": np.asarray(sd["final_linear.0.bias"]),
+    }
+    params["final_linear_1"] = _lin_t2f("final_linear.1", sd)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# reference .pt loading
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: Union[str, Path]) -> Dict[str, Dict[str, np.ndarray]]:
+    """Load a reference torch checkpoint (dict keyed by network name,
+    reference Snapshotter format) into numpy state dicts."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    out = {}
+    for name, sub in ckpt.items():
+        if hasattr(sub, "items"):
+            out[name] = {
+                k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in sub.items()
+            }
+    return out
+
+
+def load_generator_variables(
+    checkpoint_path: Union[str, Path], key: str = "g_ema"
+) -> Dict[str, Any]:
+    """Load generator variables from either an orbax snapshot dir (ours) or a
+    reference torch .pt (reference load_autoencoder_or_generator,
+    networks/__init__.py:415-423)."""
+    checkpoint_path = Path(checkpoint_path)
+    if checkpoint_path.is_dir():
+        tree = load_pytree(checkpoint_path)
+        sub = tree[key] if key in tree else tree
+        # our GAN snapshots store g_ema as bare params; attach noises if present
+        if "params" in sub:
+            return sub
+        variables = {"params": sub}
+        if "g_noises" in tree:
+            variables["noises"] = tree["g_noises"]
+        return variables
+    torch_ckpt = load_torch_checkpoint(checkpoint_path)
+    return torch_generator_to_flax(torch_ckpt[key])

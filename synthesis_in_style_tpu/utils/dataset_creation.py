@@ -1,0 +1,128 @@
+"""Shared synthesis machinery for the dataset-creation CLIs.
+
+Capability parity with reference utils/dataset_creation.py:11-59 and the
+image-saving helpers of create_dataset_for_segmentation.py:84-106, TPU-first:
+
+* `build_latent_and_noise_generator` — seeded infinite latent stream
+  (reference :32-38 uses torch.randn under manual_seed; here a split-per-batch
+  jax PRNG stream, reproducible by seed).
+* `generate_images` — ONE jitted program per batch: synthesis forward with
+  `return_intermediate_activations=True`, truncation 0.7 when a mean latent
+  is given (reference :40-59). The returned activations stay on device for
+  the downstream (also on-device) cluster assignment.
+* `make_image` — [-1,1] float NHWC -> uint8 (replaces
+  pytorch_training.images.make_image).
+* sharded output dirs id//1000, id//100000 (reference save_image :84-90).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+
+def get_root_dir_of_checkpoint(checkpoint_file: Union[str, Path]) -> Path:
+    return Path(checkpoint_file).parent.parent
+
+
+def get_base_dirs(args) -> Tuple[Path, Path]:
+    """(image_save_base_dir, semantic_segmentation_base_dir) following the
+    checkpoint-relative convention (reference utils/dataset_creation.py:18-30)."""
+    if getattr(args, "semantic_segmentation_base_dir", None) is None:
+        base_dir = get_root_dir_of_checkpoint(args.checkpoint)
+        semantic_segmentation_base_dir = base_dir / "semantic_segmentation"
+    else:
+        semantic_segmentation_base_dir = Path(args.semantic_segmentation_base_dir)
+        base_dir = semantic_segmentation_base_dir.parent
+    if getattr(args, "save_to", None) is None:
+        image_save_base_dir = base_dir / "generated_images"
+    else:
+        image_save_base_dir = Path(args.save_to)
+    image_save_base_dir.mkdir(parents=True, exist_ok=True)
+    return image_save_base_dir, semantic_segmentation_base_dir
+
+
+def build_latent_and_noise_generator(
+    config: Dict[str, Any], seed: int = 1
+) -> Iterator[jax.Array]:
+    """Infinite stream of (batch, latent_size) z batches (reference :32-38).
+    Noise is left to the generator's stored buffers (randomize_noise=False),
+    matching the reference's per-generator noise buffer usage."""
+    key = jax.random.PRNGKey(seed)
+    batch_size = config["batch_size"]
+    latent_size = config.get("latent_size", 512)
+    while True:
+        key, sub = jax.random.split(key)
+        yield jax.random.normal(sub, (batch_size, latent_size))
+
+
+def make_generate_fn(gen, variables, truncation_latent: Optional[jax.Array] = None):
+    """Jitted z -> (activations dict, images). Truncation 0.7 iff a mean
+    latent is provided (reference generate_images :40-59)."""
+    truncation = 0.7 if truncation_latent is not None else 1.0
+
+    @jax.jit
+    def generate(z):
+        image, activations = gen.apply(
+            variables,
+            [z],
+            truncation=truncation,
+            truncation_latent=truncation_latent,
+            randomize_noise=False,
+            return_intermediate_activations=True,
+        )
+        return activations, image
+
+    return generate
+
+
+def compute_mean_latent(gen, variables, n: int = 4096, seed: int = 0) -> jax.Array:
+    return gen.apply(
+        variables,
+        jax.random.PRNGKey(seed),
+        n,
+        method=type(gen).mean_latent,
+    )
+
+
+def make_image(tensor) -> np.ndarray:
+    """[-1, 1] float (B, H, W, C) -> uint8 (replaces
+    pytorch_training.images.make_image, used at reference
+    create_dataset_for_segmentation.py:135)."""
+    arr = np.asarray(tensor, dtype=np.float32)
+    arr = (arr + 1.0) * 127.5
+    return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+
+
+def save_image(
+    image: np.ndarray, image_id: int, base_dir: Path, name_format: str = "{id}.png"
+) -> Path:
+    """Sharded dirs id//1000, id//100000 (reference :84-90)."""
+    sub1 = str(image_id // 1000)
+    sub2 = str(image_id // 100000)
+    dest = Path(base_dir) / sub2 / sub1 / name_format.format(id=image_id)
+    dest.parent.mkdir(exist_ok=True, parents=True)
+    Image.fromarray(image).save(str(dest))
+    return dest
+
+
+def save_generated_images(
+    generated_images: np.ndarray,
+    semantic_segmentation_images: np.ndarray,
+    batch_id: int,
+    base_dir: Path,
+    num_images: int,
+) -> None:
+    """Side-by-side [image|mask] PNGs (reference :93-99)."""
+    images = np.concatenate([generated_images, semantic_segmentation_images], axis=2)
+    digits = max(4, len(str(num_images)))
+    for idx, image in enumerate(images):
+        save_image(
+            image, batch_id + idx, base_dir, name_format=f"{{id:0{digits}d}}.png"
+        )
