@@ -1,0 +1,293 @@
+"""EMANet — Expectation-Maximization Attention segmentation network,
+TPU-native flax.
+
+Capability parity with the reference
+(/root/reference/stylegan_code_finder/networks/ema_net/network.py), re-designed
+for TPU:
+
+* **NHWC layout**; the EM attention inner loop is two batched matmuls per
+  iteration ((B, N, C) @ (C, K) and its transpose-counterpart) that map
+  straight onto the MXU — the reference's bmm chain (network.py:219-249).
+* The µ bases are explicit state, not a registered buffer: `__call__` takes
+  `mu` (shape (1, C, K)) and returns the batch µ for the train step's
+  moving-average update (`updaters.segmentation_updater.make_emanet_train_step`;
+  reference does this mutation host-side in the updater,
+  segmentation_updater.py:56-66).
+* The vendored SynchronizedBatchNorm library (~1.6k LoC,
+  ema_net/bn_lib/) is replaced by plain `nn.BatchNorm` — under a
+  batch-sharded jit the statistics are global (SURVEY.md §2.6).
+* Deep-stem dilated ResNet-50/101/152 backbone, output stride 8 or 16
+  (network.py:59-166); head fc0 → EMAU(512, k=64, 3 EM iterations under
+  stop_gradient) → fc1 (+Dropout 0.1) → fc2, bilinear align_corners=True
+  upsample back to input size (network.py:267-311).
+* The reference computes CE inside forward (returns (loss, mu)); here the
+  loss lives in the train step — the module returns logits (+ µ in train
+  mode), which is the cleaner functional split.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
+
+Array = jax.Array
+
+BN_MOM = 3e-4
+RESNET_LAYERS = {50: [3, 4, 6, 3], 101: [3, 4, 23, 3], 152: [3, 8, 36, 3]}
+
+
+def _bn(train: bool, name: str):
+    # torch momentum 3e-4 accumulates (1-3e-4) of the old stat; flax momentum
+    # is the old-stat fraction directly
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=1.0 - BN_MOM, name=name
+    )
+
+
+def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+          name: str = None, use_bias: bool = False):
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        kernel_dilation=(dilation, dilation),
+        padding=[(pad, pad), (pad, pad)],
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+def resize_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
+    """Bilinear resize with align_corners=True (torch F.interpolate parity,
+    reference network.py:296). NHWC."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    ys = jnp.linspace(0.0, h - 1.0, out_h)
+    xs = jnp.linspace(0.0, w - 1.0, out_w)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    rows0 = x[:, y0]
+    rows1 = x[:, y1]
+    top = rows0[:, :, x0] * (1 - wx) + rows0[:, :, x1] * wx
+    bot = rows1[:, :, x0] * (1 - wx) + rows1[:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck (reference network.py:19-56)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        residual = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = _bn(train, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = _bn(train, "bn3")(out)
+        if self.has_downsample:
+            residual = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetStage(nn.Module):
+    """_make_layer (reference network.py:103-133): first block may stride /
+    downsample; dilation 2 stages start at dilation 1, dilation 4 stages at
+    dilation 2; per-block grids multiply the dilation."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+    dilation: int = 1
+    grids: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        grids = list(self.grids) if self.grids else [1] * self.blocks
+        in_ch = x.shape[-1]
+        has_down = self.stride != 1 or in_ch != self.planes * 4
+        first_dilation = {1: 1, 2: 1, 4: 2}[self.dilation]
+        x = Bottleneck(
+            self.planes, self.stride, first_dilation, has_down, name="block_0"
+        )(x, train=train)
+        for i in range(1, self.blocks):
+            x = Bottleneck(
+                self.planes, 1, self.dilation * grids[i], False, name=f"block_{i}"
+            )(x, train=train)
+        return x
+
+
+class ResNetExtractor(nn.Module):
+    """Deep-stem dilated ResNet feature extractor (reference network.py:59-101
+    stem + layers 1-4, used via `extractor`, :276-285)."""
+
+    n_layers: int = 50
+    stride: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        layers = RESNET_LAYERS[self.n_layers]
+        # deep stem: 3x3 s2 -> 3x3 -> 3x3 (reference conv1 Sequential :63-71)
+        x = _conv(64, 3, 2, name="stem_conv1")(x)
+        x = _bn(train, "stem_bn1")(x)
+        x = nn.relu(x)
+        x = _conv(64, 3, name="stem_conv2")(x)
+        x = _bn(train, "stem_bn2")(x)
+        x = nn.relu(x)
+        x = _conv(128, 3, name="stem_conv3")(x)
+        x = _bn(train, "bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        x = ResNetStage(64, layers[0], name="layer1")(x, train=train)
+        x = ResNetStage(128, layers[1], stride=2, name="layer2")(x, train=train)
+        if self.stride == 16:
+            x = ResNetStage(256, layers[2], stride=2, name="layer3")(x, train=train)
+            x = ResNetStage(
+                512, layers[3], stride=1, dilation=2, grids=[1, 2, 4], name="layer4"
+            )(x, train=train)
+        elif self.stride == 8:
+            x = ResNetStage(
+                256, layers[2], stride=1, dilation=2, name="layer3"
+            )(x, train=train)
+            x = ResNetStage(
+                512, layers[3], stride=1, dilation=4, grids=[1, 2, 4], name="layer4"
+            )(x, train=train)
+        else:
+            raise RuntimeError(f"unknown stride: {self.stride}")
+        return x
+
+
+def _l2norm(x: Array, axis: int) -> Array:
+    return x / (1e-6 + jnp.linalg.norm(x, axis=axis, keepdims=True))
+
+
+def init_emau_mu(channels: int, k: int, seed: int = 0) -> Array:
+    """Kaiming-normal, channel-l2-normalized µ bases (reference EMAU.__init__,
+    network.py:195-199)."""
+    mu = jax.random.normal(jax.random.PRNGKey(seed), (1, channels, k)) * math.sqrt(
+        2.0 / k
+    )
+    return _l2norm(mu, axis=1)
+
+
+class EMAU(nn.Module):
+    """Expectation-Maximization Attention Unit (reference network.py:187-264).
+
+    `mu`: (1, C, K) bases. Returns (features, batch µ) — the µ moving
+    average is applied by the train step."""
+
+    channels: int
+    k: int
+    stage_num: int = 3
+
+    @nn.compact
+    def __call__(
+        self, x: Array, mu: Array, train: bool = False
+    ) -> Tuple[Array, Array]:
+        idn = x
+        x = nn.Conv(self.channels, (1, 1), name="conv1")(x)
+
+        b, h, w, c = x.shape
+        x_flat = x.reshape(b, h * w, c)  # (B, N, C)
+        mu = jnp.broadcast_to(mu.astype(x.dtype), (b, c, self.k))
+
+        # The whole EM loop runs without gradient (reference torch.no_grad,
+        # network.py:224-232); the final attention reuses the LAST
+        # iteration's z (computed against the pre-update µ), so it carries
+        # no gradient either — gradients reach conv1 only through later
+        # training signals, exactly as in the reference.
+        def em_iter(mu, _):
+            z = jax.nn.softmax(x_flat @ mu, axis=2)  # (B, N, K)
+            z_norm = z / (1e-6 + jnp.sum(z, axis=1, keepdims=True))
+            new_mu = jnp.einsum("bnc,bnk->bck", x_flat, z_norm)
+            return _l2norm(new_mu, axis=1), z
+
+        mu, zs = jax.lax.stop_gradient(
+            jax.lax.scan(em_iter, mu, None, length=self.stage_num)
+        )
+        z = zs[-1]
+
+        x_attn = jnp.einsum("bnk,bck->bnc", z, mu).reshape(b, h, w, c)
+        x_attn = nn.relu(x_attn)
+
+        out = nn.Conv(c, (1, 1), use_bias=False, name="conv2_conv")(x_attn)
+        out = _bn(train, "conv2_bn")(out)
+        out = nn.relu(out + idn)
+        return out, mu
+
+
+class EMANet(nn.Module):
+    """Reference EMANet (network.py:267-311). Input NHWC in [-1, 1];
+    `__call__(x, mu, train)` returns (logits, batch µ) when train else
+    logits. µ defaults to the module's deterministic init when not given."""
+
+    num_classes: int
+    n_layers: int = 50
+    stride: int = 8
+    stage_num: int = 3
+    emau_channels: int = 512
+    emau_k: int = 64
+
+    def segmenter_config(
+        self,
+        background_class_id: int = 0,
+        min_confidence: float = 0.0,
+        min_contour_area: int = 0,
+    ) -> SegmenterConfig:
+        return SegmenterConfig(
+            num_classes=self.num_classes,
+            background_class_id=background_class_id,
+            min_confidence=min_confidence,
+            min_contour_area=min_contour_area,
+        )
+
+    def init_mu(self, seed: int = 0) -> Array:
+        return init_emau_mu(self.emau_channels, self.emau_k, seed)
+
+    @nn.compact
+    def __call__(
+        self, x: Array, mu: Optional[Array] = None, train: bool = False
+    ) -> Any:
+        if mu is None:
+            mu = init_emau_mu(self.emau_channels, self.emau_k)
+        size = x.shape[1:3]
+        x = ResNetExtractor(self.n_layers, self.stride, name="extractor")(
+            x, train=train
+        )
+        x = _conv(self.emau_channels, 3, name="fc0_conv")(x)
+        x = _bn(train, "fc0_bn")(x)
+        x = nn.relu(x)
+        x, mu_batch = EMAU(
+            self.emau_channels, self.emau_k, self.stage_num, name="emau"
+        )(x, mu, train=train)
+        x = _conv(256, 3, name="fc1_conv")(x)
+        x = _bn(train, "fc1_bn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Conv(self.num_classes, (1, 1), name="fc2")(x)
+
+        pred = resize_bilinear_align_corners(x, size[0], size[1])
+        if train:
+            return pred, mu_batch
+        return pred

@@ -1,0 +1,332 @@
+"""Patch-based whole-page inference: tile, predict, re-assemble.
+
+Capability parity with the reference
+(/root/reference/stylegan_code_finder/segmentation/analysis_segmenter.py):
+`AnalysisSegmenter` (max assembly, :144-164) and `VotingAssemblySegmenter`
+(summed-confidence voting normalized to [0,1], :198-223), same patch-tiling
+semantics (`calculate_bboxes_for_patches` :83-112: explicit overlap OR
+automatic even-overlap), same hyperparameter injection (:52-58).
+
+TPU-first:
+* All patches of an image are predicted in fixed-size batches through ONE
+  jitted forward (static patch shape -> one compiled program regardless of
+  page size); softmax + confidence threshold stay on device
+  (models.base_segmenter.predict_probabilities), only the contour-area
+  postprocess crosses to the host.
+* The network is rebuilt from the checkpoint-relative config and an orbax
+  snapshot (reference rebuilds via training builders + torch load,
+  :72-81).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from synthesis_in_style_tpu.core.config import load_config_from_checkpoint
+from synthesis_in_style_tpu.models.base_segmenter import (
+    SegmenterConfig,
+    predict_probabilities,
+    remove_too_small_contours,
+)
+from synthesis_in_style_tpu.utils.segmentation_utils import BBox
+
+
+def calculate_bboxes_for_patches(
+    image_width: int,
+    image_height: int,
+    patch_size: int,
+    patch_overlap: Optional[int] = None,
+) -> Tuple[BBox, ...]:
+    """Tile an image into patch bboxes (reference :83-112). With
+    patch_overlap=None, the overlap is computed automatically so the patches
+    exactly cover the image with even overlap."""
+    patches: List[BBox] = []
+    if patch_overlap is not None:
+        current_x, current_y = 0, 0
+        while current_y < image_height:
+            while current_x < image_width:
+                patches.append(
+                    BBox(current_x, current_y, current_x + patch_size,
+                         current_y + patch_size)
+                )
+                current_x += patch_size - patch_overlap
+            current_x = 0
+            current_y += patch_size - patch_overlap
+    else:
+        windows_in_width = math.ceil(image_width / patch_size)
+        total_width_overlap = windows_in_width * patch_size - image_width
+        windows_in_height = math.ceil(image_height / patch_size)
+        total_height_overlap = windows_in_height * patch_size - image_height
+        width_overlap_per_patch = total_width_overlap // windows_in_width
+        height_overlap_per_patch = total_height_overlap // windows_in_height
+        for y_idx in range(windows_in_height):
+            start_y = int(y_idx * (patch_size - height_overlap_per_patch))
+            for x_idx in range(windows_in_width):
+                start_x = int(x_idx * (patch_size - width_overlap_per_patch))
+                patches.append(
+                    BBox(start_x, start_y, start_x + patch_size,
+                         start_y + patch_size)
+                )
+    return tuple(patches)
+
+
+def resolve_patch_overlap(
+    patch_size: int, patch_overlap: int = 0, patch_overlap_factor: float = 0.0
+) -> Optional[int]:
+    """Reference set_patch_overlap (:38-50): explicit px XOR factor XOR
+    automatic (None)."""
+    assert patch_overlap == 0 or patch_overlap_factor == 0.0, (
+        "Only one of 'patch_overlap' and 'patch_overlap_factor' should be "
+        "specified"
+    )
+    if patch_overlap != 0:
+        assert 0 < patch_overlap < patch_size, (
+            f"The value of 'patch_overlap' should be in the following range: "
+            f"0 < patch_overlap < patch_size ({patch_size} px)"
+        )
+        return patch_overlap
+    if patch_overlap_factor != 0.0:
+        assert 0.0 < patch_overlap_factor < 1.0, (
+            "The value of 'patch_overlap_factor' should be in the following "
+            "range: 0.0 < patch_overlap_factor < 1.0"
+        )
+        return math.ceil(patch_overlap_factor * patch_size)
+    return None
+
+
+class AnalysisSegmenter:
+    """Max-assembly patch inference (reference AnalysisSegmenter :19-195)."""
+
+    def __init__(
+        self,
+        model_checkpoint: Union[str, Path, None],
+        class_to_color_map: Union[str, Path, Dict],
+        original_config_path: Optional[Path] = None,
+        batch_size: Optional[int] = None,
+        max_image_size: Optional[int] = None,
+        print_progress: bool = True,
+        patch_overlap: int = 0,
+        patch_overlap_factor: float = 0.0,
+        show_confidence_in_segmentation: bool = False,
+        network=None,
+        network_variables=None,
+        config: Optional[dict] = None,
+        segmenter_config: Optional[SegmenterConfig] = None,
+    ):
+        if config is None:
+            config = load_config_from_checkpoint(model_checkpoint, original_config_path)
+            config["fine_tune"] = str(model_checkpoint)
+        self.config = config
+        self.class_to_color_map = self.load_color_map(class_to_color_map)
+        self.batch_size = batch_size or self.config.get("batch_size", 1)
+        self.patch_size = int(self.config["image_size"])
+        self.print_progress = print_progress
+        self.max_image_size = max_image_size
+        self.show_confidence_in_segmentation = show_confidence_in_segmentation
+
+        if network is None:
+            network, network_variables, segmenter_config = self._load_network(
+                model_checkpoint
+            )
+        self.network = network
+        self.network_variables = network_variables
+        self.segmenter_config = segmenter_config or SegmenterConfig(
+            num_classes=len(self.class_to_color_map)
+        )
+
+        self.patch_overlap = resolve_patch_overlap(
+            self.patch_size, patch_overlap, patch_overlap_factor
+        )
+        self._predict_fn = None
+
+    # ---------------- configuration ----------------
+
+    def load_color_map(self, color_map: Union[str, Path, Dict]) -> dict:
+        if isinstance(color_map, dict):
+            return color_map
+        with Path(color_map).open() as f:
+            return json.load(f)
+
+    def _load_network(self, model_checkpoint):
+        from synthesis_in_style_tpu.training_builder import (
+            get_train_builder_class,
+        )
+
+        config = dict(self.config)
+        if config.get("network") == "base":  # legacy configs
+            config["network"] = "DocUFCN"
+        builder = get_train_builder_class(config)(config)
+        return builder.get_network_for_inference(model_checkpoint)
+
+    def set_patch_overlap(self, patch_overlap: int, patch_overlap_factor: float):
+        self.patch_overlap = resolve_patch_overlap(
+            self.patch_size, patch_overlap, patch_overlap_factor
+        )
+
+    def set_hyperparams(self, hyperparam_config: dict) -> None:
+        """Reference set_hyperparams (:52-58)."""
+        if "patch_overlap" in hyperparam_config:
+            self.set_patch_overlap(*hyperparam_config["patch_overlap"])
+        replacements = {}
+        if "min_confidence" in hyperparam_config:
+            replacements["min_confidence"] = hyperparam_config["min_confidence"]
+            self._predict_fn = None  # min_confidence is baked into the jit
+        if "min_contour_area" in hyperparam_config:
+            replacements["min_contour_area"] = hyperparam_config["min_contour_area"]
+        if replacements:
+            import dataclasses
+
+            self.segmenter_config = dataclasses.replace(
+                self.segmenter_config, **replacements
+            )
+
+    # ---------------- prediction ----------------
+
+    def _get_predict_fn(self):
+        if self._predict_fn is None:
+            min_confidence = self.segmenter_config.min_confidence
+            network = self.network
+            variables = self.network_variables
+
+            @jax.jit
+            def predict(images):
+                logits = network.apply(variables, images, train=False)
+                return predict_probabilities(logits, min_confidence)
+
+            self._predict_fn = predict
+        return self._predict_fn
+
+    def calculate_bboxes_for_patches(
+        self, image_width: int, image_height: int
+    ) -> Tuple[BBox, ...]:
+        return calculate_bboxes_for_patches(
+            image_width, image_height, self.patch_size, self.patch_overlap
+        )
+
+    def crop_and_batch_patches(self, input_image: Image.Image) -> Iterator[dict]:
+        """Normalized (B, P, P, C) patch batches + their bboxes (reference
+        :114-128). Border patches are zero-padded like PIL crop."""
+        arr = np.asarray(input_image, dtype=np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        arr = (arr - 0.5) / 0.5
+        h, w = arr.shape[:2]
+        p = self.patch_size
+
+        bboxes = self.calculate_bboxes_for_patches(input_image.width, input_image.height)
+        for i in range(0, len(bboxes), self.batch_size):
+            batch_bboxes = bboxes[i : i + self.batch_size]
+            batch = np.full(
+                (len(batch_bboxes), p, p, arr.shape[2]), -1.0, dtype=np.float32
+            )
+            for j, bbox in enumerate(batch_bboxes):
+                y_end = min(bbox.bottom, h)
+                x_end = min(bbox.right, w)
+                crop = arr[bbox.top : y_end, bbox.left : x_end]
+                batch[j, : crop.shape[0], : crop.shape[1]] = crop
+            yield {"images": batch, "bboxes": batch_bboxes}
+
+    def predict_patches(self, patches: Iterator[dict]) -> List[dict]:
+        """(reference :130-142); runs the jitted forward per batch, pads the
+        final partial batch to keep ONE compiled shape."""
+        predict = self._get_predict_fn()
+        predicted = []
+        for batch in patches:
+            images = batch["images"]
+            n = images.shape[0]
+            if n < self.batch_size:
+                pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
+                images = np.concatenate([images, pad], axis=0)
+            probs = np.asarray(predict(jnp.asarray(images)))[:n]
+            probs = remove_too_small_contours(
+                probs,
+                self.segmenter_config.min_contour_area,
+                self.segmenter_config.background_class_id,
+            )
+            for i, bbox in enumerate(batch["bboxes"]):
+                predicted.append({"prediction": probs[i], "bbox": bbox})
+        return predicted
+
+    def assemble_predictions(
+        self, patches: List[dict], output_size: Tuple[int, int]
+    ) -> np.ndarray:
+        """Per-pixel max across overlapping patches (reference :144-164).
+        Returns (H, W, C)."""
+        num_classes = self.segmenter_config.num_classes
+        max_width, max_height = output_size
+        assembled = np.full(
+            (max_height, max_width, num_classes), -np.inf, dtype=np.float32
+        )
+        for patch in patches:
+            x_start, y_start, x_end, y_end = patch["bbox"]
+            x_end = min(x_end, max_width)
+            y_end = min(y_end, max_height)
+            window = patch["prediction"][: y_end - y_start, : x_end - x_start, :]
+            region = assembled[y_start:y_end, x_start:x_end, :]
+            assembled[y_start:y_end, x_start:x_end, :] = np.maximum(region, window)
+        return assembled
+
+    def convert_image_to_correct_color_space(self, image: Image.Image) -> Image.Image:
+        channels = self.segmenter_config.num_input_channels
+        if channels == 3:
+            return image.convert("RGB")
+        if channels == 1:
+            return image.convert("L")
+        raise ValueError(
+            "Can not convert input image to desired format, Network desires "
+            f"inputs with {channels} channels."
+        )
+
+    def segment_image(self, image: Image.Image) -> np.ndarray:
+        """Full-page inference (reference :176-188). Returns (H, W, C)
+        assembled class confidences."""
+        image = self.convert_image_to_correct_color_space(image)
+        if self.max_image_size and any(
+            side > self.max_image_size for side in image.size
+        ):
+            image.thumbnail((self.max_image_size, self.max_image_size))
+        patches = self.crop_and_batch_patches(image)
+        predicted = self.predict_patches(patches)
+        return self.assemble_predictions(predicted, image.size)
+
+    def prediction_to_color_image(self, assembled_prediction: np.ndarray) -> Image.Image:
+        from synthesis_in_style_tpu.visualization.utils import (
+            network_output_to_color_image,
+        )
+
+        colored = network_output_to_color_image(
+            assembled_prediction[None],
+            self.class_to_color_map,
+            show_confidence_in_segmentation=self.show_confidence_in_segmentation,
+        )
+        return Image.fromarray(colored[0])
+
+
+class VotingAssemblySegmenter(AnalysisSegmenter):
+    """Summed-confidence voting assembly (reference :198-223)."""
+
+    def assemble_predictions(
+        self, patches: List[dict], output_size: Tuple[int, int]
+    ) -> np.ndarray:
+        num_classes = self.segmenter_config.num_classes
+        max_width, max_height = output_size
+        summed = np.zeros((max_height, max_width, num_classes), dtype=np.float32)
+        for patch in patches:
+            x_start, y_start, x_end, y_end = patch["bbox"]
+            x_start, y_start = max(x_start, 0), max(y_start, 0)
+            x_end = min(x_end, max_width)
+            y_end = min(y_end, max_height)
+            summed[y_start:y_end, x_start:x_end, :] += patch["prediction"][
+                : y_end - y_start, : x_end - x_start, :
+            ]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            normalized = summed / summed.sum(axis=-1, keepdims=True)
+        return np.nan_to_num(normalized)

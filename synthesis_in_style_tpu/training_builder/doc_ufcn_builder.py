@@ -1,0 +1,42 @@
+"""DocUFCN train builder (reference
+training_builder/doc_ufcn_train_builder.py:13-43: GradientClipAdam with
+betas/weight_decay/lr from config, weighted-CE StandardUpdater)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from synthesis_in_style_tpu.models.doc_ufcn import get_doc_ufcn
+from synthesis_in_style_tpu.training_builder.base import BaseTrainBuilder
+from synthesis_in_style_tpu.updaters.segmentation_updater import (
+    make_standard_train_step,
+)
+
+
+class DocUFCNTrainBuilder(BaseTrainBuilder):
+    def _build_network(self):
+        network_class = get_doc_ufcn(self.config.get("network_version", "base"))
+        return network_class(
+            num_classes=self.config.get("num_classes", 3),
+            input_channels=self.config.get("input_dim", 3),
+        )
+
+    def _build_optimizer(self) -> optax.GradientTransformation:
+        """GradientClipAdam equivalent: global-norm clip then adam with
+        decoupled weight decay (reference doc_ufcn_train_builder.py:29-31)."""
+        config = self.config
+        return optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(
+                self.lr_schedule(),
+                b1=float(config.get("beta1", 0.9)),
+                b2=float(config.get("beta2", 0.999)),
+                weight_decay=float(config.get("weight_decay", 0.0)),
+            ),
+        )
+
+    def _make_train_step(self, tx):
+        class_weights = self.config.get("class_weights")
+        weights = jnp.asarray(class_weights) if class_weights is not None else None
+        return make_standard_train_step(self.network, tx, class_weights=weights)

@@ -1,0 +1,232 @@
+"""EMANet + TransUNet model tests: shapes, µ update semantics, train steps,
+builder wiring (reference networks/ema_net/network.py,
+networks/trans_u_net/vit_seg_modeling.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from synthesis_in_style_tpu.models.ema_net import (
+    EMANet,
+    resize_bilinear_align_corners,
+)
+from synthesis_in_style_tpu.models.trans_u_net import (
+    VIT_CONFIGS,
+    VisionTransformer,
+)
+
+
+def test_resize_bilinear_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 7, 5, 3)).astype(np.float32)
+    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 13, 11))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=(13, 11),
+            mode="bilinear",
+            align_corners=True,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def emanet_setup():
+    model = EMANet(num_classes=3, n_layers=50, stride=8)
+    x = jnp.zeros((1, 32, 32, 3))
+    mu = model.init_mu(seed=0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, mu, train=False,
+    )
+    return model, variables, mu
+
+
+def test_emanet_eval_shape(emanet_setup):
+    model, variables, mu = emanet_setup
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    logits = model.apply(variables, x, mu, train=False)
+    assert logits.shape == (1, 32, 32, 3)
+
+
+def test_emanet_train_returns_mu(emanet_setup):
+    model, variables, mu = emanet_setup
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    (logits, mu_batch), new_state = model.apply(
+        variables, x, mu, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    assert logits.shape == (2, 32, 32, 3)
+    assert mu_batch.shape == (2, model.emau_channels, model.emau_k)
+    # µ bases stay l2-normalized along the channel axis
+    norms = np.linalg.norm(np.asarray(mu_batch), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_emanet_train_step_updates_mu(emanet_setup):
+    from synthesis_in_style_tpu.updaters.segmentation_updater import (
+        create_seg_train_state,
+        make_emanet_train_step,
+    )
+
+    model, _, mu = emanet_setup
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = create_seg_train_state(
+        model, jax.random.PRNGKey(0), 32, tx, extra=mu
+    )
+    step = make_emanet_train_step(model, tx, em_mom=0.9, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "segmented": jnp.asarray(rng.integers(0, 3, (2, 32, 32)).astype(np.int32)),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["softmax"]))
+    assert not np.allclose(np.asarray(new_state.extra), np.asarray(mu))
+    assert new_state.extra.shape == mu.shape
+
+
+@pytest.mark.parametrize("name", ["testing"])
+def test_transunet_pure_vit(name):
+    config = VIT_CONFIGS[name]()
+    model = VisionTransformer(config=config, img_size=32, num_classes=3)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    logits = model.apply(variables, x, train=False)
+    # pure ViT: 16x16 patches on 32px -> 2x2 tokens, cup upsamples x16 -> 32
+    assert logits.shape == (1, 32, 32, 3)
+
+
+def test_transunet_hybrid_r50():
+    config = VIT_CONFIGS["R50-ViT-B_16"]()
+    # shrink for test speed
+    config["hidden_size"] = 32
+    config["transformer"] = {
+        "mlp_dim": 64, "num_heads": 4, "num_layers": 2,
+        "attention_dropout_rate": 0.0, "dropout_rate": 0.1,
+    }
+    config["resnet"] = {"num_layers": (1, 1, 1), "width_factor": 1}
+    config["decoder_channels"] = (32, 16, 8, 4)
+    config["patches"]["grid"] = (4, 4)
+    model = VisionTransformer(config=config, img_size=64, num_classes=3)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 64, 64, 3)
+    # grayscale input is repeated to 3 channels (reference forward :390-391)
+    x1 = jnp.zeros((1, 64, 64, 1))
+    logits1 = model.apply(variables, x1, train=False)
+    assert logits1.shape == (1, 64, 64, 3)
+
+
+def test_transunet_train_step():
+    from synthesis_in_style_tpu.updaters.segmentation_updater import (
+        create_seg_train_state,
+        make_transunet_train_step,
+    )
+
+    config = VIT_CONFIGS["testing"]()
+    model = VisionTransformer(config=config, img_size=32, num_classes=2)
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = create_seg_train_state(model, jax.random.PRNGKey(0), 32, tx)
+    step = make_transunet_train_step(model, tx, num_classes=2, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "segmented": jnp.asarray(rng.integers(0, 2, (2, 32, 32)).astype(np.int32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_transunet_npz_loading_roundtrip():
+    """Build an npz dict in the original JAX ViT naming from random arrays,
+    load it, and check the params took the values (reference load_from,
+    vit_seg_modeling.py:401-449)."""
+    from synthesis_in_style_tpu.models.trans_u_net import load_npz_weights
+
+    config = VIT_CONFIGS["testing"]()
+    model = VisionTransformer(config=config, img_size=32, num_classes=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    rng = np.random.default_rng(0)
+    hidden = config["hidden_size"]
+    heads = config["transformer"]["num_heads"]
+    head_dim = hidden // heads
+    n_tok = params["position_embeddings"].shape[1]
+    weights = {
+        "embedding/kernel": rng.normal(
+            size=params["patch_embeddings"]["kernel"].shape
+        ).astype(np.float32),
+        "embedding/bias": rng.normal(size=(hidden,)).astype(np.float32),
+        "Transformer/encoder_norm/scale": np.ones(hidden, np.float32),
+        "Transformer/encoder_norm/bias": np.zeros(hidden, np.float32),
+        # posemb with class token -> triggers the strip-first-token path
+        "Transformer/posembed_input/pos_embedding": rng.normal(
+            size=(1, n_tok + 1, hidden)
+        ).astype(np.float32),
+    }
+    for i in range(config["transformer"]["num_layers"]):
+        root = f"Transformer/encoderblock_{i}"
+        for qkv in ("query", "key", "value"):
+            weights[f"{root}/MultiHeadDotProductAttention_1/{qkv}/kernel"] = (
+                rng.normal(size=(hidden, heads, head_dim)).astype(np.float32)
+            )
+            weights[f"{root}/MultiHeadDotProductAttention_1/{qkv}/bias"] = (
+                rng.normal(size=(heads, head_dim)).astype(np.float32)
+            )
+        weights[f"{root}/MultiHeadDotProductAttention_1/out/kernel"] = rng.normal(
+            size=(heads, head_dim, hidden)
+        ).astype(np.float32)
+        weights[f"{root}/MultiHeadDotProductAttention_1/out/bias"] = rng.normal(
+            size=(hidden,)
+        ).astype(np.float32)
+        mlp = config["transformer"]["mlp_dim"]
+        weights[f"{root}/MlpBlock_3/Dense_0/kernel"] = rng.normal(
+            size=(hidden, mlp)
+        ).astype(np.float32)
+        weights[f"{root}/MlpBlock_3/Dense_0/bias"] = rng.normal(size=(mlp,)).astype(
+            np.float32
+        )
+        weights[f"{root}/MlpBlock_3/Dense_1/kernel"] = rng.normal(
+            size=(mlp, hidden)
+        ).astype(np.float32)
+        weights[f"{root}/MlpBlock_3/Dense_1/bias"] = rng.normal(
+            size=(hidden,)
+        ).astype(np.float32)
+        weights[f"{root}/LayerNorm_0/scale"] = np.ones(hidden, np.float32)
+        weights[f"{root}/LayerNorm_0/bias"] = np.zeros(hidden, np.float32)
+        weights[f"{root}/LayerNorm_2/scale"] = np.ones(hidden, np.float32)
+        weights[f"{root}/LayerNorm_2/bias"] = np.zeros(hidden, np.float32)
+
+    loaded = load_npz_weights(params, weights, config)
+    np.testing.assert_array_equal(
+        loaded["patch_embeddings"]["kernel"], weights["embedding/kernel"]
+    )
+    np.testing.assert_array_equal(
+        loaded["position_embeddings"],
+        weights["Transformer/posembed_input/pos_embedding"][:, 1:],
+    )
+    np.testing.assert_array_equal(
+        loaded["encoderblock_0"]["attn"]["query"]["kernel"],
+        weights[
+            "Transformer/encoderblock_0/MultiHeadDotProductAttention_1/query/kernel"
+        ].reshape(hidden, hidden),
+    )
+    # loaded params still run (keep the freshly-initialized batch stats)
+    new_variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, loaded),
+        "batch_stats": variables["batch_stats"],
+    }
+    logits = model.apply(new_variables, x, train=False)
+    assert logits.shape == (1, 32, 32, 2)
