@@ -103,11 +103,13 @@ def cluster_ids_to_color_image(labels: np.ndarray, num_clusters: int,
 
 def find_and_render_clusters(
     all_activations: Dict[int, np.ndarray], num_clusters: int
-) -> Tuple[Dict[int, np.ndarray], Dict[str, FactorCatalog]]:
+) -> Tuple[Dict[int, np.ndarray], Dict[str, FactorCatalog], Dict[str, np.ndarray]]:
     """Fit one FactorCatalog per layer on device; render color maps
-    (reference find_and_render_clusters :115-130)."""
+    (reference find_and_render_clusters :115-130). Also returns the integer
+    per-pixel labels per layer (consumed by the semantic labeller)."""
     rendered = {}
     catalogs: Dict[str, FactorCatalog] = {}
+    label_arrays: Dict[str, np.ndarray] = {}
     for size_key, activations in all_activations.items():
         catalog = FactorCatalog(num_clusters)
         labels = np.asarray(catalog.fit_predict(activations))
@@ -115,7 +117,8 @@ def find_and_render_clusters(
             labels, num_clusters, get_next_color()
         )
         catalogs[str(size_key)] = catalog
-    return rendered, catalogs
+        label_arrays[str(size_key)] = labels.astype(np.int32)
+    return rendered, catalogs, label_arrays
 
 
 def save_cluster_visualizations(
@@ -172,10 +175,15 @@ def main(args: argparse.Namespace) -> None:
 
     for num_clusters in range(*args.cluster_range):
         print(f"clustering k={num_clusters}")
-        rendered, catalogs = find_and_render_clusters(activations, num_clusters)
+        rendered, catalogs, label_arrays = find_and_render_clusters(
+            activations, num_clusters
+        )
         save_catalogs(
             catalogs, output_dir.resolve() / "catalogs" / f"{num_clusters}.npz"
         )
+        labels_path = output_dir.resolve() / "cluster_labels" / f"{num_clusters}.npz"
+        labels_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(str(labels_path), **label_arrays)
         save_cluster_visualizations(
             rendered, generated_images, num_clusters, output_dir
         )

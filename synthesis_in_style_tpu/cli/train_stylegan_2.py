@@ -1,0 +1,284 @@
+"""Train StyleGAN2 / SWAGAN on unlabelled document scans.
+
+Capability parity with the reference CLI
+(/root/reference/stylegan_code_finder/train_stylegan_2.py): same flags/config
+keys (stylegan_variant, regularization intervals/weights, style_mixing_prob,
+reg-ratio-scaled Adam, cosine LR to 1e-8, snapshot key layout
+generator/discriminator/g_ema/*_optimizer, image plotter with a fixed z
+probe set).
+
+TPU-first: no process groups / DDP — the jitted train steps
+(updaters.stylegan2_updater) run data-parallel when the batch is sharded over
+a mesh; EMA, R1 and path-length double-grads are part of the compiled steps.
+`freeze_stochastic_noise_layers` is a no-op here: noise buffers live in the
+non-trainable "noises" collection by construction (the reference needed
+explicit requires_grad surgery, stylegan_2_updater.py:35-43).
+
+Usage:
+  python -m synthesis_in_style_tpu.cli.train_stylegan_2 <config.yaml> \
+      --images train.json --val-images val.json -l out
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from synthesis_in_style_tpu.core.config import (
+    load_yaml_config,
+    merge_config_and_args,
+    save_run_config,
+)
+from synthesis_in_style_tpu.core.extensions import (
+    ImagePlotter,
+    LogWriter,
+    LRReporter,
+    Snapshotter,
+)
+from synthesis_in_style_tpu.core.schedules import clamped_cosine
+from synthesis_in_style_tpu.core.trainer import Trainer
+from synthesis_in_style_tpu.data import DataLoader, JSONDataset
+from synthesis_in_style_tpu.data.json_dataset import (
+    CachingLoader,
+    normalize_to_tensor,
+    resilient_loader,
+)
+from synthesis_in_style_tpu.models.factory import get_discriminator, get_generator
+from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+    StyleGAN2Config,
+    StyleGAN2Updater,
+    create_gan_train_state,
+)
+from synthesis_in_style_tpu.utils.dataset_creation import make_image
+
+
+class GANImageDataset(JSONDataset):
+    """Images resized + normalized to [-1, 1], keyed 'images' (reference
+    build_data_loader transform stack, utils/data_loading.py:38-42)."""
+
+    def __init__(self, *args, image_size: int, num_channels: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.image_size = image_size
+        self.num_channels = num_channels
+
+    def __getitem__(self, index):
+        image = self.loader(self.full_path(index))
+        return {
+            "images": normalize_to_tensor(image, self.image_size, self.num_channels)
+        }
+
+
+def build_gan_optimizers(config: dict):
+    """Reg-ratio-scaled Adam with gradient clipping (reference
+    train_stylegan_2.py:79-93: lr*ratio, betas (0^ratio, 0.99^ratio))."""
+    reg = config.get("regularization", {})
+    g_interval = int(reg.get("g_interval", 4))
+    d_interval = int(reg.get("d_interval", 16))
+    g_ratio = g_interval / (g_interval + 1)
+    d_ratio = d_interval / (d_interval + 1)
+    lr = float(config["lr"])
+    max_iter = int(config["max_iter"])
+
+    def make(ratio):
+        schedule = clamped_cosine(lr * ratio, max_iter, eta_min=1e-8)
+        return optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(schedule, b1=0.0**ratio, b2=0.99**ratio),
+        ), schedule
+
+    g_tx, g_schedule = make(g_ratio)
+    d_tx, d_schedule = make(d_ratio)
+    return g_tx, d_tx, {"generator": g_schedule, "discriminator": d_schedule}
+
+
+def main(args: argparse.Namespace) -> None:
+    config = load_yaml_config(args.config)
+    config = merge_config_and_args(config, args)
+    log_dir = Path(config["log_dir"])
+
+    if args.cache_root is not None:
+        loader_func = CachingLoader(
+            os.path.dirname(config["images"]), args.cache_root,
+            base_loader=resilient_loader,
+        )
+    else:
+        loader_func = resilient_loader
+
+    json_path = Path(config["images"])
+    dataset = GANImageDataset(
+        json_path,
+        root=json_path.parent,
+        loader=loader_func,
+        image_size=config["image_size"],
+        num_channels=config.get("input_dim", 3),
+    )
+    train_loader = DataLoader(
+        dataset,
+        config["batch_size"],
+        num_workers=1 if args.debug else config.get("num_workers", 8),
+    )
+
+    gen = get_generator(config)
+    disc = get_discriminator(config)
+    g_tx, d_tx, schedules = build_gan_optimizers(config)
+
+    state = create_gan_train_state(
+        gen, disc, jax.random.PRNGKey(config.get("seed", 0)),
+        config["image_size"], g_tx, d_tx,
+    )
+    if config.get("resume_ckpt"):
+        from synthesis_in_style_tpu.utils.checkpoint import load_pytree
+
+        tree = load_pytree(Path(config["resume_ckpt"]))
+        state = state.replace(
+            g_params=jax.tree_util.tree_map(jnp.asarray, tree["generator"]),
+            d_params=jax.tree_util.tree_map(jnp.asarray, tree["discriminator"]),
+            g_ema=jax.tree_util.tree_map(jnp.asarray, tree["g_ema"]),
+        )
+
+    reg = config.get("regularization", {})
+    gan_cfg = StyleGAN2Config(
+        r1_weight=float(reg.get("r1_weight", 10.0)),
+        path_reg_weight=float(reg.get("path_reg_weight", 2.0)),
+        d_reg_every=int(reg.get("d_interval", 16)),
+        g_reg_every=int(reg.get("g_interval", 4)),
+        mixing_prob=float(config.get("style_mixing_prob", 0.9)),
+    )
+
+    updater = StyleGAN2Updater(
+        gen, disc, g_tx, d_tx, state,
+        iterators={"images": _ImagesOnly(train_loader)},
+        batch_size=config["batch_size"],
+        cfg=gan_cfg,
+        seed=config.get("seed", 0),
+    )
+
+    trainer = Trainer(
+        updater, (int(config["max_iter"]), "iteration"), log_dir=log_dir
+    )
+    save_run_config(log_dir, config, args)
+
+    trainer.extend(
+        Snapshotter(
+            lambda t: {
+                "generator": t.updater.state.g_params,
+                "discriminator": t.updater.state.d_params,
+                "g_ema": t.updater.state.g_ema,
+                "g_noises": t.updater.state.g_noises,
+                "generator_optimizer": t.updater.state.g_opt,
+                "discriminator_optimizer": t.updater.state.d_opt,
+            },
+            log_dir,
+            trigger=(int(config.get("snapshot_save_iter", 10000)), "iteration"),
+        )
+    )
+
+    sample_z = jax.random.normal(
+        jax.random.PRNGKey(7), (min(16, int(config["batch_size"])),
+                                int(config["latent_size"]))
+    )
+
+    def render_samples(t):
+        """Fixed-z probe grid through g_ema (reference StyleGANImagePlotter,
+        extensions/stylegan_image_plotter.py:8-14)."""
+        images, _ = gen.apply(
+            {"params": t.updater.state.g_ema, "noises": t.updater.state.g_noises},
+            [sample_z],
+            randomize_noise=False,
+        )
+        images = make_image(images)
+        rows = [
+            np.concatenate(list(images[i : i + 4]), axis=1)
+            for i in range(0, len(images), 4)
+        ]
+        width = max(r.shape[1] for r in rows)
+        rows = [
+            np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0))) for r in rows
+        ]
+        return np.concatenate(rows, axis=0)
+
+    trainer.extend(
+        ImagePlotter(
+            render_samples, log_dir,
+            trigger=(int(config.get("image_save_iter", 1000)), "iteration"),
+        )
+    )
+    trainer.extend(
+        LRReporter(schedules, trigger=(int(config.get("log_iter", 10)), "iteration"))
+    )
+
+    if config.get("val_images") and not args.debug:
+        try:
+            from synthesis_in_style_tpu.evaluation.fid import make_fid_extension
+
+            trainer.extend(
+                make_fid_extension(gen, lambda t: t.updater.state, config)
+            )
+        except (ImportError, FileNotFoundError) as e:
+            print(f"FID extension unavailable: {e}")
+
+    trainer.extend(
+        LogWriter(
+            log_dir,
+            trigger=(int(config.get("log_iter", 10)), "iteration"),
+            use_wandb=args.wandb_project_name is not None,
+            wandb_kwargs={
+                "project": args.wandb_project_name,
+                "entity": args.wandb_entity,
+                "name": config.get("log_name", "stylegan2"),
+                "config": config,
+            },
+        )
+    )
+
+    trainer.train()
+
+
+class _ImagesOnly:
+    """Infinite 'images'-array iterator over the loader with epoch tracking."""
+
+    def __init__(self, loader: DataLoader):
+        self._loader = loader
+        self._iterator = iter(loader.infinite())
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._iterator)["images"]
+
+    @property
+    def epoch(self) -> float:
+        return self._loader.epoch
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train StyleGAN2/SWAGAN")
+    parser.add_argument("config", help="path to yaml config")
+    parser.add_argument("--images", default=None,
+                        help="Path to json file with train images")
+    parser.add_argument("--val-images", dest="val_images", default=None)
+    parser.add_argument("--resume-ckpt", dest="resume_ckpt", default=None)
+    parser.add_argument("-c", "--cache-root", default=None)
+    parser.add_argument("-l", "--log-dir", default="training")
+    parser.add_argument("-ln", "--log-name", default="stylegan2")
+    parser.add_argument("--wandb-project-name", default=None)
+    parser.add_argument("--wandb-entity", default=None)
+    parser.add_argument("--debug", action="store_true", default=False)
+    return parser
+
+
+if __name__ == "__main__":
+    parsed = build_parser().parse_args()
+    parsed.log_dir = os.path.join(
+        "logs", parsed.log_dir, parsed.log_name,
+        datetime.datetime.now().isoformat(),
+    )
+    main(parsed)
