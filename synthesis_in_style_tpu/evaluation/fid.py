@@ -1,0 +1,212 @@
+"""FID — Frechet Inception Distance, TPU-native machinery.
+
+Capability parity with the reference
+(/root/reference/stylegan_code_finder/evaluation/fid.py:26-225 and the
+FIDScore trainer extension, extensions/fid_score.py:16-39):
+real-statistics caching to npz, reconstruction-based FID for autoencoders,
+`GenerativeFID` (sample z → g_ema), and the Frechet distance itself.
+
+The reference uses pytorch_fid's pretrained InceptionV3; ImageNet weights
+cannot be downloaded in this image, so the feature extractor is pluggable:
+pass `feature_fn(images_nhwc_in[-1,1]) -> (B, D)` — e.g. a converted
+InceptionV3 — or fall back to the built-in pooled-VGG16 features (random
+init unless vgg variables are supplied): RELATIVE comparisons during one
+training run remain meaningful (random-feature FID is a recognized proxy),
+absolute values are not comparable to Inception-FID.
+
+Under a batch-sharded jit the feature computation is already global — the
+reference's explicit all_gather (fid.py:76-82) disappears.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Iterable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@dataclass
+class FIDStatistics:
+    mu: np.ndarray
+    sigma: np.ndarray
+
+
+def get_statistics(activations: np.ndarray) -> FIDStatistics:
+    """(reference FID.get_statistics, fid.py:69-73)."""
+    return FIDStatistics(
+        mu=np.mean(activations, axis=0),
+        sigma=np.cov(activations, rowvar=False),
+    )
+
+
+def calculate_frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """||mu1-mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) (standard FID formula,
+    reference delegates to pytorch_fid.fid_score)."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(
+        diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def default_feature_fn(variables=None, dim: int = 512) -> Callable:
+    """Pooled VGG16 relu5_3 features as the fallback embedding."""
+    from synthesis_in_style_tpu.losses.feature_extractors import (
+        VGG16Features,
+        init_extractor,
+    )
+
+    vgg = VGG16Features()
+    variables = variables or init_extractor(vgg)
+
+    @jax.jit
+    def feature_fn(images: Array) -> Array:
+        feats = vgg.apply(variables, images)[-1]  # deepest tap
+        return jnp.mean(feats, axis=(1, 2))  # (B, C)
+
+    return feature_fn
+
+
+class FID:
+    """Reconstruction FID for autoencoders (reference FID, fid.py:31-183)."""
+
+    def __init__(
+        self,
+        feature_fn: Optional[Callable] = None,
+        num_samples: int = 1000,
+        batch_image_key: str = "output_image",
+    ):
+        self.feature_fn = feature_fn or default_feature_fn()
+        self.num_samples = num_samples
+        self.batch_image_key = batch_image_key
+
+    # ---------------- statistics ----------------
+
+    @staticmethod
+    def load_precalculated_mu_and_sigma(path: Path) -> FIDStatistics:
+        data = np.load(str(path))
+        return FIDStatistics(data["mu"][:], data["sigma"][:])
+
+    def _collect(self, batches: Iterable[np.ndarray]) -> np.ndarray:
+        collected = []
+        total = 0
+        for batch in batches:
+            feats = np.asarray(self.feature_fn(jnp.asarray(batch)))
+            collected.append(feats)
+            total += len(feats)
+            if total >= self.num_samples:
+                break
+        return np.concatenate(collected, axis=0)[: self.num_samples]
+
+    def calculate_statistics_for_real_images(
+        self, cache_path: Optional[Path], data_loader
+    ) -> FIDStatistics:
+        """Real stats, cached to npz (reference :100-122)."""
+        if cache_path is not None and Path(cache_path).exists():
+            return self.load_precalculated_mu_and_sigma(Path(cache_path))
+
+        def batches():
+            for batch in data_loader.infinite():
+                yield batch[self.batch_image_key]
+
+        stats = get_statistics(self._collect(batches()))
+        if cache_path is not None:
+            Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+            np.savez(str(cache_path), mu=stats.mu, sigma=stats.sigma)
+        return stats
+
+    def fake_batches(self, model_fn, data_loader):
+        """Reconstruction path: autoencoder(model input) (reference :124-150)."""
+        for batch in data_loader.infinite():
+            yield np.asarray(model_fn(jnp.asarray(batch["input_image"])))
+
+    def __call__(
+        self, model_fn: Callable, data_loader,
+        dataset_path: Union[str, Path, None] = None,
+    ) -> float:
+        cache_path = None
+        if dataset_path is not None:
+            import hashlib
+
+            digest = hashlib.sha256(str(dataset_path).encode()).hexdigest()[:16]
+            cache_path = Path(dataset_path).parent / f"fid_stats_{digest}.npz"
+        real = self.calculate_statistics_for_real_images(cache_path, data_loader)
+        fake = get_statistics(self._collect(self.fake_batches(model_fn, data_loader)))
+        return calculate_frechet_distance(real.mu, real.sigma, fake.mu, fake.sigma)
+
+
+class GenerativeFID(FID):
+    """Sample z → generator (reference GenerativeFID, fid.py:186-225)."""
+
+    def __init__(self, *args, latent_size: int = 512, batch_size: int = 16,
+                 seed: int = 42, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.latent_size = latent_size
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def fake_batches(self, model_fn, data_loader):
+        key = jax.random.PRNGKey(self.seed)
+        while True:
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, (self.batch_size, self.latent_size))
+            yield np.asarray(model_fn(z))
+
+
+def make_fid_extension(gen, state_fn: Callable, config: dict,
+                       feature_fn: Optional[Callable] = None):
+    """FIDScore trainer extension for GAN training (reference
+    extensions/fid_score.py:16-39): evaluates g_ema against the validation
+    images every epoch and reports under 'evaluation'."""
+    from pathlib import Path as _Path
+
+    from synthesis_in_style_tpu.core.extensions import Evaluator
+    from synthesis_in_style_tpu.data import DataLoader as _DataLoader
+
+    from synthesis_in_style_tpu.cli.train_stylegan_2 import GANImageDataset
+
+    val_json = _Path(config["val_images"])
+    dataset = GANImageDataset(
+        val_json, root=val_json.parent, image_size=config["image_size"],
+        num_channels=config.get("input_dim", 3),
+    )
+    loader = _DataLoader(dataset, config["batch_size"], num_workers=2)
+
+    fid = GenerativeFID(
+        feature_fn,
+        latent_size=int(config["latent_size"]),
+        batch_size=int(config["batch_size"]),
+        num_samples=int(config.get("fid_samples", 1000)),
+        batch_image_key="images",
+    )
+
+    def eval_fn(trainer):
+        state = state_fn(trainer)
+
+        @jax.jit
+        def sample(z):
+            images, _ = gen.apply(
+                {"params": state.g_ema, "noises": state.g_noises},
+                [z], randomize_noise=False,
+            )
+            return images
+
+        return {"fid_score": fid(sample, loader, dataset_path=val_json)}
+
+    return Evaluator(eval_fn, trigger=(1, "epoch"), prefix="evaluation")

@@ -35,6 +35,17 @@ def get_generator(
         return swagan.Generator(**kwargs)
     if str(variant) == "2":
         return stylegan2.Generator(**kwargs)
+    if str(variant) == "1":
+        # (reference get_stylegan1_generator, networks/__init__.py:144-151);
+        # the synthesis CLIs target variant 2 / swagan — same as the
+        # reference's shipped creation configs
+        from synthesis_in_style_tpu.models.stylegan1 import StyledGenerator
+
+        return StyledGenerator(
+            size=config["image_size"],
+            code_dim=config.get("latent_size", 512),
+            n_mlp=config.get("n_mlp", 8),
+        )
     raise NotImplementedError(f"stylegan variant {variant!r} not supported")
 
 
