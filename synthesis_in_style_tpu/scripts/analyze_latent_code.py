@@ -1,0 +1,195 @@
+"""Latent/noise statistics of an encoder over a dataset: histograms, CDFs,
+and inverse-CDF "blueprints" for sampling new codes.
+
+Capability parity with the reference
+(/root/reference/stylegan_code_finder/scripts/analyze_latent_code.py,
+486 LoC, condensed): embed a dataset through the autoencoder's encoder,
+cache latents/noise to npz, then per-dimension histograms + empirical
+CDF plots and a blueprint JSON (sorted samples + quantile grid per latent
+dim / noise map) that downstream code can inverse-transform-sample from.
+
+Usage:
+  python -m synthesis_in_style_tpu.scripts.analyze_latent_code \
+      <autoencoder_checkpoint> --dataset images.json [--save-dir out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def empirical_cdf(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(x, F(x)) of the empirical CDF (reference create_cdf :60-62)."""
+    x = np.sort(data.reshape(-1))
+    y = np.arange(1, len(x) + 1) / len(x)
+    return x, y
+
+
+def create_and_plot_cdf(data: np.ndarray, file_name: Path) -> None:
+    x, y = empirical_cdf(data)
+    fig, ax = plt.subplots()
+    ax.plot(x, y)
+    ax.set_ylabel("F(x)")
+    fig.savefig(file_name)
+    plt.close(fig)
+
+
+def create_and_save_histogram(data: np.ndarray, file_name: Path,
+                              bins: int = 100) -> None:
+    fig, ax = plt.subplots()
+    ax.hist(data.reshape(-1), bins=bins)
+    fig.savefig(file_name)
+    plt.close(fig)
+
+
+def inverse_cdf_blueprint(data: np.ndarray, num_quantiles: int = 256) -> Dict:
+    """Quantile grid usable for inverse-transform sampling (reference
+    create_inverse_transform_building_blocks + get_inverse_cdf :82-93)."""
+    flat = np.sort(data.reshape(-1))
+    qs = np.linspace(0.0, 1.0, num_quantiles)
+    values = np.quantile(flat, qs)
+    return {"quantiles": qs.tolist(), "values": values.tolist(),
+            "mean": float(flat.mean()), "std": float(flat.std())}
+
+
+def analyze_latents(latent_codes: np.ndarray, dest_dir: Path,
+                    max_dims_plotted: int = 16) -> Dict:
+    """Per-dimension histograms + global CDF + blueprint (reference
+    LatentCodeAnalyzer :144-289, condensed)."""
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    flat = latent_codes.reshape(-1, latent_codes.shape[-1])
+    create_and_save_histogram(flat, dest_dir / "latent_histogram.png")
+    create_and_plot_cdf(flat, dest_dir / "latent_cdf.png")
+    for dim in range(min(max_dims_plotted, flat.shape[-1])):
+        create_and_save_histogram(
+            flat[:, dim], dest_dir / f"latent_dim_{dim:03d}.png"
+        )
+    blueprint = {
+        "shape": list(latent_codes.shape[1:]),
+        "global": inverse_cdf_blueprint(flat),
+        "per_dim_mean": flat.mean(axis=0).tolist(),
+        "per_dim_std": flat.std(axis=0).tolist(),
+    }
+    with (dest_dir / "latent_blueprint.json").open("w") as f:
+        json.dump(blueprint, f)
+    return blueprint
+
+
+def analyze_noise(noises: List[np.ndarray], dest_dir: Path) -> Dict:
+    """(reference NoiseAnalyzer :292-393, condensed)."""
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    blueprint = {}
+    for i, noise in enumerate(noises):
+        key = f"noise_{noise.shape[1]}x{noise.shape[2]}_{i}"
+        create_and_save_histogram(noise, dest_dir / f"{key}_histogram.png")
+        blueprint[key] = {
+            "shape": list(noise.shape[1:]),
+            **inverse_cdf_blueprint(noise),
+        }
+    with (dest_dir / "noise_blueprint.json").open("w") as f:
+        json.dump(blueprint, f)
+    return blueprint
+
+
+def embed_images(args, config: dict) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Encode the dataset to latents + noise (reference embed_images :24-57),
+    cached to npz."""
+    cache = Path(args.save_dir) / "embedded.npz"
+    if cache.exists() and not args.force:
+        data = np.load(cache, allow_pickle=True)
+        return data["latents"], list(data["noises"])
+
+    from synthesis_in_style_tpu.cli.train_stylegan_2 import GANImageDataset
+    from synthesis_in_style_tpu.data import DataLoader
+    from synthesis_in_style_tpu.models.autoencoder import StyleganAutoencoder
+    from synthesis_in_style_tpu.models.encoder import WPlusEncoder
+    from synthesis_in_style_tpu.models.factory import get_generator
+    from synthesis_in_style_tpu.models.stylegan2 import generator_channels
+    from synthesis_in_style_tpu.utils.checkpoint import load_pytree
+
+    dataset_json = Path(args.dataset)
+    dataset = GANImageDataset(
+        dataset_json, root=dataset_json.parent,
+        image_size=config["image_size"],
+        num_channels=config.get("input_dim", 3),
+    )
+    loader = DataLoader(dataset, args.batch_size, shuffle=False,
+                        drop_last=False, num_workers=2)
+
+    ae = StyleganAutoencoder(
+        encoder=WPlusEncoder(
+            config["image_size"], config["latent_size"],
+            config.get("input_dim", 3),
+            generator_channels(config.get("channel_multiplier", 2)),
+        ),
+        decoder=get_generator(config),
+    )
+    tree = load_pytree(Path(args.autoencoder_checkpoint))
+    variables = jax.tree_util.tree_map(jnp.asarray, tree["autoencoder"])
+
+    @jax.jit
+    def encode(x):
+        return ae.apply(variables, x, train=False,
+                        method=StyleganAutoencoder.encode)
+
+    all_latents = []
+    all_noises = None
+    for batch in loader:
+        latents = encode(jnp.asarray(batch["images"]))
+        all_latents.append(np.asarray(latents.latent))
+        noises = [np.asarray(n) for n in latents.noise]
+        if all_noises is None:
+            all_noises = [[n] for n in noises]
+        else:
+            for acc, n in zip(all_noises, noises):
+                acc.append(n)
+    latents = np.concatenate(all_latents, axis=0)
+    noises = [np.concatenate(acc, axis=0) for acc in all_noises]
+
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(cache, latents=latents,
+             noises=np.asarray(noises, dtype=object))
+    return latents, noises
+
+
+def main(args: argparse.Namespace) -> None:
+    from synthesis_in_style_tpu.core.config import load_config_from_checkpoint
+
+    config = load_config_from_checkpoint(
+        args.autoencoder_checkpoint, args.original_config_path
+    )
+    save_dir = Path(args.save_dir)
+    latents, noises = embed_images(args, config)
+    analyze_latents(latents, save_dir / "latents")
+    analyze_noise(noises, save_dir / "noise")
+    print(f"analysis written to {save_dir}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Analyze the latent codes an encoder produces over a "
+        "dataset"
+    )
+    parser.add_argument("autoencoder_checkpoint")
+    parser.add_argument("--dataset", required=True,
+                        help="json manifest of images to embed")
+    parser.add_argument("--save-dir", default="latent_code_analysis")
+    parser.add_argument("-op", "--original-config-path", type=Path, default=None)
+    parser.add_argument("-f", "--force", action="store_true", default=False)
+    parser.add_argument("-b", "--batch-size", type=int, default=8)
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

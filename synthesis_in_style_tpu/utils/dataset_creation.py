@@ -119,10 +119,26 @@ def save_generated_images(
     base_dir: Path,
     num_images: int,
 ) -> None:
-    """Side-by-side [image|mask] PNGs (reference :93-99)."""
+    """Side-by-side [image|mask] PNGs (reference :93-99). Uses the native
+    multi-threaded PNG writer (native/fast_png.cpp) when available; PIL
+    otherwise."""
     images = np.concatenate([generated_images, semantic_segmentation_images], axis=2)
     digits = max(4, len(str(num_images)))
-    for idx, image in enumerate(images):
-        save_image(
-            image, batch_id + idx, base_dir, name_format=f"{{id:0{digits}d}}.png"
+    paths = []
+    for idx in range(len(images)):
+        image_id = batch_id + idx
+        dest = (
+            Path(base_dir)
+            / str(image_id // 100000)
+            / str(image_id // 1000)
+            / f"{image_id:0{digits}d}.png"
         )
+        dest.parent.mkdir(exist_ok=True, parents=True)
+        paths.append(dest)
+
+    from synthesis_in_style_tpu.native import write_png_batch
+
+    if images.shape[-1] == 3 and write_png_batch(images, paths):
+        return
+    for image, dest in zip(images, paths):
+        Image.fromarray(image).save(str(dest))

@@ -1,0 +1,133 @@
+"""Analysis scripts + native PNG writer (reference scripts/*,
+new native/fast_png.cpp)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from synthesis_in_style_tpu.scripts.balance_segmentation_train_gt import balance_gt
+from synthesis_in_style_tpu.scripts.create_stylegan_train_dataset import (
+    crop_patches,
+    get_content_box,
+    remove_scanning_margin,
+    scale_bounding_box,
+)
+
+
+# ---------------- dataset-prep scripts --------------------------------------
+
+def test_crop_patches_covers_image():
+    image = Image.new("RGB", (300, 520))
+    patches = crop_patches(image, 256)
+    assert len(patches) == 2 * 3  # ceil(300/256) * ceil(520/256)
+    assert all(p.size == (256, 256) for p in patches)
+
+
+def test_content_box_detects_margin():
+    # white page with a dark content block inside
+    page = np.full((400, 300, 3), 255, np.uint8)
+    page[40:360, 30:270] = 30
+    rng = np.random.default_rng(0)
+    page[40:360, 30:270] += rng.integers(0, 60, (320, 240, 3)).astype(np.uint8)
+    box = get_content_box(Image.fromarray(page))
+    x0, y0, x1, y1 = box
+    assert 0 <= x0 <= 40 and 0 <= y0 <= 50
+    assert 255 <= x1 <= 300 and 345 <= y1 <= 400
+
+    cropped = remove_scanning_margin(Image.fromarray(page))
+    assert cropped.width <= 300 and cropped.height <= 400
+
+
+def test_scale_bounding_box():
+    assert scale_bounding_box([10, 10, 20, 20], (100, 100), (200, 400)) == [
+        20, 40, 40, 80,
+    ]
+
+
+def test_balance_gt():
+    items = (
+        [{"file_name": f"a{i}", "has_x": True, "has_y": False} for i in range(10)]
+        + [{"file_name": f"b{i}", "has_x": False, "has_y": True} for i in range(4)]
+        + [{"file_name": f"c{i}", "has_x": True, "has_y": True} for i in range(6)]
+        + [{"file_name": f"d{i}", "has_x": False, "has_y": False} for i in range(8)]
+    )
+    kept = balance_gt(items, seed=0)
+    # smallest bucket has 4 entries; 4 buckets * 4
+    assert len(kept) == 16
+    buckets = {"a": 0, "b": 0, "c": 0, "d": 0}
+    for item in kept:
+        buckets[item["file_name"][0]] += 1
+    assert all(v == 4 for v in buckets.values())
+
+
+# ---------------- native PNG writer ------------------------------------------
+
+def test_fastpng_encode_roundtrip(tmp_path):
+    from synthesis_in_style_tpu.native import encode_png, get_fastpng
+
+    if get_fastpng() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    png_bytes = encode_png(image)
+    assert png_bytes is not None and png_bytes[:4] == b"\x89PNG"
+    p = tmp_path / "x.png"
+    p.write_bytes(png_bytes)
+    decoded = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(decoded, image)
+
+
+def test_fastpng_batch_write(tmp_path):
+    from synthesis_in_style_tpu.native import get_fastpng, write_png_batch
+
+    if get_fastpng() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (8, 32, 48, 3), np.uint8)
+    paths = [tmp_path / f"img_{i}.png" for i in range(8)]
+    assert write_png_batch(images, paths, num_threads=4)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), images[i])
+
+
+def test_save_generated_images_uses_native(tmp_path):
+    from synthesis_in_style_tpu.utils.dataset_creation import save_generated_images
+
+    rng = np.random.default_rng(2)
+    gen = rng.integers(0, 255, (3, 16, 16, 3), np.uint8)
+    masks = rng.integers(0, 255, (3, 16, 16, 3), np.uint8)
+    save_generated_images(gen, masks, 0, tmp_path, 10)
+    pngs = sorted(tmp_path.glob("**/*.png"))
+    assert len(pngs) == 3
+    with Image.open(pngs[0]) as im:
+        assert im.size == (32, 16)
+        np.testing.assert_array_equal(
+            np.asarray(im), np.concatenate([gen[0], masks[0]], axis=1)
+        )
+
+
+# ---------------- analyze_latent_code helpers --------------------------------
+
+def test_latent_analysis_blueprint(tmp_path):
+    from synthesis_in_style_tpu.scripts.analyze_latent_code import (
+        analyze_latents,
+        analyze_noise,
+        empirical_cdf,
+    )
+
+    rng = np.random.default_rng(0)
+    latents = rng.normal(size=(20, 14, 8)).astype(np.float32)
+    blueprint = analyze_latents(latents, tmp_path / "latents", max_dims_plotted=2)
+    assert blueprint["shape"] == [14, 8]
+    assert len(blueprint["per_dim_mean"]) == 8
+    assert (tmp_path / "latents" / "latent_blueprint.json").exists()
+    assert (tmp_path / "latents" / "latent_histogram.png").exists()
+
+    noises = [rng.normal(size=(20, 4, 4, 1)), rng.normal(size=(20, 8, 8, 1))]
+    noise_bp = analyze_noise(noises, tmp_path / "noise")
+    assert len(noise_bp) == 2
+
+    x, y = empirical_cdf(np.array([1.0, 2.0, 3.0, 4.0]))
+    np.testing.assert_allclose(y, [0.25, 0.5, 0.75, 1.0])
