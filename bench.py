@@ -4,9 +4,15 @@ TPU chip (BASELINE.json metric: "StyleGAN2 synth images/sec/chip at 256px").
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measurement notes:
-* The reference publishes no numbers (BASELINE.md); `vs_baseline` is the ratio
-  to a documented 60 img/s estimate for the reference's torch pipeline on a
-  single V100-class GPU at 256px (batch inference incl. activation capture).
+* Runs the generator in bfloat16 at batch 64 — the production synthesis
+  configuration (per-sample style modulation and demodulation statistics stay
+  float32 inside ModulatedConv2d; the convs ride the MXU in bf16). Measured
+  progression on one v5e: f32/b16 1103 -> f32/b64 1199 -> bf16/b64 ~1476
+  img/s.
+* The reference publishes no numbers (BASELINE.md); `vs_baseline` is the
+  ratio to a documented 60 img/s estimate for the reference's torch pipeline
+  on a single V100-class GPU at 256px (batch inference incl. activation
+  capture).
 * Over the axon relay, `block_until_ready` can return before execution
   completes, so the generation loop runs device-side (`lax.fori_loop`) with a
   scalar accumulator and the timed region includes the value fetch.
@@ -21,9 +27,10 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 60.0  # documented estimate, see module docstring
-BATCH = 16
+BATCH = 64
 N_ITERS = 30
 SIZE = 256
+DTYPE = jnp.bfloat16
 
 
 def main() -> None:
@@ -34,19 +41,23 @@ def main() -> None:
     variables = gen.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, [z0]
     )
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(DTYPE) if a.dtype == jnp.float32 else a, variables
+    )
 
     @jax.jit
     def synth_loop(variables, key):
         def body(i, acc):
             kz, kn = jax.random.split(jax.random.fold_in(key, i))
-            z = jax.random.normal(kz, (BATCH, 512))
+            z = jax.random.normal(kz, (BATCH, 512), DTYPE)
             img, _ = gen.apply(variables, [z], rngs={"noise": kn})
-            return acc + jnp.mean(jnp.abs(img))
+            return acc + jnp.mean(jnp.abs(img)).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.zeros((), jnp.float32))
 
     # compile + warm up (fetch forces completion over the relay)
-    float(synth_loop(variables, jax.random.PRNGKey(2)))
+    val = float(synth_loop(variables, jax.random.PRNGKey(2)))
+    assert val == val and val > 0, f"bad accumulator: {val}"
 
     best = 0.0
     for trial in range(3):

@@ -65,6 +65,24 @@ def calculate_frechet_distance(
     )
 
 
+def inception_feature_fn(torch_state_dict=None, variables=None) -> Callable:
+    """The reference's FID backbone: InceptionV3 pool3 (2048-d). Pass a
+    torchvision/pytorch_fid state dict (or converted flax variables) for
+    calibrated values (models/inception_v3.py)."""
+    from synthesis_in_style_tpu.models.inception_v3 import (
+        load_torch_inception_v3,
+        make_inception_feature_fn,
+    )
+
+    if torch_state_dict is not None:
+        import jax.numpy as _jnp
+
+        variables = jax.tree_util.tree_map(
+            _jnp.asarray, load_torch_inception_v3(torch_state_dict)
+        )
+    return make_inception_feature_fn(variables)
+
+
 def default_feature_fn(variables=None, dim: int = 512) -> Callable:
     """Pooled VGG16 relu5_3 features as the fallback embedding."""
     from synthesis_in_style_tpu.losses.feature_extractors import (

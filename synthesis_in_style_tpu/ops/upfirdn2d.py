@@ -85,19 +85,23 @@ def upfirdn2d(
     n, h, w, c = x.shape
     kh, kw = kernel.shape
 
-    # True convolution == correlation with the flipped kernel.
-    k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+    # True convolution == correlation with the flipped kernel. Compute in the
+    # input dtype (bfloat16 synthesis stays bfloat16 on the MXU); float32
+    # inputs keep HIGHEST precision as before.
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
     k = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, c))
 
     out = lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x,
         k,
         window_strides=(down_y, down_x),
         padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
         lhs_dilation=(up_y, up_x),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        precision=lax.Precision.HIGHEST,
+        precision=(
+            lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        ),
     )
     return out.astype(x.dtype)
 

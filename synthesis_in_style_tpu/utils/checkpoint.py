@@ -232,6 +232,32 @@ def torch_discriminator_to_flax(
     return {"params": params}
 
 
+def convert_autoencoder_checkpoint(checkpoint: Dict) -> Dict:
+    """Split a legacy `autoencoder` state dict into `encoder` / `decoder`
+    sub-dicts, stripping DDP `module.` prefixes (reference
+    networks/convert_autoencoder_checkpoint.py:7-35)."""
+    if all(key in checkpoint for key in ("encoder", "decoder")):
+        return checkpoint
+    encoder_weights: Dict[str, Any] = {}
+    decoder_weights: Dict[str, Any] = {}
+    autoencoder_weights: Dict[str, Any] = {}
+    split_targets = {"encoder": encoder_weights, "decoder": decoder_weights}
+    for name, weight in checkpoint["autoencoder"].items():
+        parts = name.split(".")
+        if parts[0] == "module":
+            parts = parts[1:]
+        for target_name, target in split_targets.items():
+            if target_name in parts:
+                idx = parts.index(target_name)
+                target[".".join(parts[idx + 1 :])] = weight
+                break
+        autoencoder_weights[".".join(parts)] = weight
+    checkpoint["autoencoder"] = autoencoder_weights
+    checkpoint["encoder"] = encoder_weights
+    checkpoint["decoder"] = decoder_weights
+    return checkpoint
+
+
 # ---------------------------------------------------------------------------
 # reference .pt loading
 # ---------------------------------------------------------------------------
