@@ -22,11 +22,25 @@ Data shapes follow the reference conventions:
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import cv2
 import numpy as np
+
+# Host-side contour work parallelizes across images: OpenCV releases the GIL,
+# so a shared thread pool gives near-linear scaling on multi-core hosts (the
+# reference ran everything on one thread).
+_POOL = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
+
+
+def _parallel_map(fn, items):
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(item) for item in items]
+    return list(_POOL.map(fn, items))
 
 Contour = np.ndarray
 ClassContours = Dict[str, List[Optional[List[Contour]]]]
@@ -47,15 +61,16 @@ def dilate_image(
 
 def cluster_image_to_contours(cluster_arrays: np.ndarray) -> List[List[Contour]]:
     """Dilate each (H, W) mask then take external contours (reference
-    base_cluster_based_dataset_segmenter.py:148-154)."""
-    batch_contours = []
-    for image in cluster_arrays:
+    base_cluster_based_dataset_segmenter.py:148-154); images in parallel."""
+
+    def one(image):
         dilated = dilate_image(np.ascontiguousarray(image, dtype=np.uint8))
         contours, _ = cv2.findContours(
             dilated, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
         )
-        batch_contours.append(list(contours))
-    return batch_contours
+        return list(contours)
+
+    return _parallel_map(one, cluster_arrays)
 
 
 def _contour_bounds(contour: Contour) -> Tuple[int, int, int, int]:
@@ -211,32 +226,31 @@ def merge_contours_of_same_class_from_different_images(
 
     result: ClassContours = defaultdict(list)
     for class_name, contours_for_class in class_to_contours.items():
-        for batch_id in range(batch_size):
+
+        def process(batch_id, contours_for_class=contours_for_class,
+                    class_name=class_name):
             per_sub_image = [c[batch_id] for c in contours_for_class]
             empties = [len(c) == 0 for c in per_sub_image]
             if all(empties):
-                result[class_name].append(None)
-                continue
+                return None
             if (
                 drop_if_size_of_contours_zero
                 and class_name in class_names_to_merge
                 and any(empties)
             ):
-                result[class_name].append(None)
-                continue
+                return None
             if any(empties):
                 # keep the first non-empty sub image's contours verbatim
                 for sub_contours, empty in zip(per_sub_image, empties):
                     if not empty:
-                        result[class_name].append(sub_contours)
-                        break
-                continue
+                        return sub_contours
             flat = [c for sub in per_sub_image for c in sub]
             if class_name not in class_names_to_merge or len(per_sub_image) == 1:
-                result[class_name].append(flat)
-                continue
+                return flat
             merged = merge_contours(flat, only_keep_overlapping)
-            result[class_name].append(merged if merged else None)
+            return merged if merged else None
+
+        result[class_name] = _parallel_map(process, range(batch_size))
     return result
 
 
@@ -332,8 +346,8 @@ def render_segmentation_image(
     fine_masks = {
         name: np.asarray(mask) for name, mask in fine_grained_prediction.items()
     }
-    images = []
-    for batch_id in range(batch_size):
+
+    def render_one(batch_id: int) -> np.ndarray:
         canvas = np.zeros((image_size, image_size, 3), np.uint8)
         canvas[:, :] = class_to_color_map["background"]
         for class_name in fine_masks:
@@ -352,5 +366,6 @@ def render_segmentation_image(
                     contour_mask, fine_masks[cluster_class_name][batch_id], False
                 )
                 canvas[fine_mask] = class_to_color_map[class_name]
-        images.append(canvas)
-    return np.stack(images, axis=0)
+        return canvas
+
+    return np.stack(_parallel_map(render_one, range(batch_size)), axis=0)

@@ -175,11 +175,72 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
             predicted[layer_id] = per_class
         return predicted
 
+    def _build_prepare_fn(self):
+        """ONE jitted program for the whole front half — per-layer k-means
+        assignment, cluster→class OR-merge, and nearest upscaling — emitting
+        a single stacked uint8 tensor so the device→host boundary is one
+        transfer instead of layers x classes small ones (the many-dispatch
+        path costs ~150 ms/img over a remote device link vs ~4 ms/img for
+        synthesis itself)."""
+        layer_ids = list(self.catalog.keys())
+        plan = []  # (layer_id, class_name) in emission order
+        centers = {
+            layer_id: jnp.asarray(self.catalog[layer_id].cluster_centers)
+            for layer_id in layer_ids
+        }
+        class_ids = {}
+        for layer_id in layer_ids:
+            for class_name, ids in self.class_label_map[layer_id].items():
+                plan.append((layer_id, class_name))
+                class_ids[(layer_id, class_name)] = jnp.asarray(ids)
+        image_size = self.image_size
+
+        from synthesis_in_style_tpu.segmentation.kmeans import assign_euclidean
+
+        @jax.jit
+        def prepare(activations: Dict[str, Array]) -> Array:
+            masks = []
+            labels_per_layer = {}
+            for layer_id in layer_ids:
+                acts = activations[layer_id]
+                flat = acts.reshape(-1, acts.shape[-1])
+                labels = assign_euclidean(flat, centers[layer_id]).reshape(
+                    acts.shape[0], acts.shape[1], acts.shape[2]
+                )
+                labels_per_layer[layer_id] = labels
+            for layer_id, class_name in plan:
+                labels = labels_per_layer[layer_id]
+                mask = jnp.isin(labels, class_ids[(layer_id, class_name)])
+                if mask.shape[-1] < image_size:
+                    mask = jax.image.resize(
+                        mask.astype(jnp.uint8),
+                        (mask.shape[0], image_size, image_size),
+                        method="nearest",
+                    )
+                else:
+                    mask = mask.astype(jnp.uint8)
+                masks.append(mask)
+            return jnp.stack(masks)  # (len(plan), B, S, S) uint8
+
+        return prepare, plan
+
     def prepare_image_segmentation(
         self, activations: Dict[int, Array], class_label_map
     ) -> PredictedClusters:
-        predicted = self.predict_clusters(activations, class_label_map)
-        return self.resize_to_image_size(predicted)
+        """Fused front half (see _build_prepare_fn); returns host numpy bool
+        masks per layer/class — downstream contour code is host-side anyway."""
+        if not hasattr(self, "_prepare_fn"):
+            self._prepare_fn, self._prepare_plan = self._build_prepare_fn()
+        acts = {
+            str(k): jnp.asarray(v)
+            for k, v in activations.items()
+            if str(k) in self.catalog
+        }
+        stacked = np.asarray(self._prepare_fn(acts)).astype(bool)
+        predicted: PredictedClusters = {}
+        for (layer_id, class_name), mask in zip(self._prepare_plan, stacked):
+            predicted.setdefault(layer_id, {})[class_name] = mask
+        return predicted
 
     # ---------------- host-side contour half (delegates) ----------------
 
@@ -303,13 +364,14 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
 
     def merge_sub_images(self, predicted_clusters: PredictedClusters) -> PredictedClusters:
         """OR the class masks of several layers into a virtual layer
-        (reference :31-40). On device."""
+        (reference :31-40). Backend-agnostic (host numpy after the fused
+        prepare, device arrays otherwise)."""
         for destination_key, keys_to_merge in self.keys_to_merge.items():
             sub_images = [predicted_clusters[key] for key in keys_to_merge]
             merged = {}
             for class_name in self.class_to_color_map:
                 tensors = [sub[class_name] for sub in sub_images]
-                merged[class_name] = reduce(jnp.logical_or, tensors)
+                merged[class_name] = reduce(np.logical_or, tensors)
             predicted_clusters[destination_key] = merged
         return predicted_clusters
 
