@@ -111,24 +111,56 @@ def build_dataset(
         config, seed=creation_config["seed"]
     )
 
+    # Pipelined loop: dispatch batch i+1's device work (synthesis + fused
+    # cluster prediction) BEFORE blocking on batch i's transfer, so the host
+    # contour/PNG stage overlaps device compute (JAX async dispatch).
+    can_pipeline = hasattr(segmenter, "begin_prepare")
     generated = 0
-    while generated < args.num_images:
-        z = next(latent_stream)
-        activations, images = generate(z)
-        label_images, image_ids_to_drop = segmenter.create_segmentation_image(
-            activations
-        )
-        images = make_image(images)
+    pending = None  # (images_device, masks_device, batch_size)
+
+    def process(pending_batch):
+        nonlocal generated
+        images_dev, masks_dev, batch_size = pending_batch
+        if can_pipeline:
+            predicted = segmenter.finish_prepare(masks_dev)
+            label_images, image_ids_to_drop = segmenter.segment_prepared(
+                predicted, batch_size
+            )
+        else:
+            label_images, image_ids_to_drop = segmenter.create_segmentation_image(
+                masks_dev
+            )
+        images = make_image(images_dev)
         images = np.delete(images, image_ids_to_drop, axis=0)
         label_images = np.delete(label_images, image_ids_to_drop, axis=0)
-
         if len(label_images) > 0:
             save_generated_images(
-                images, label_images, generated, image_save_base_dir, args.num_images
+                images, label_images, generated, image_save_base_dir,
+                args.num_images,
             )
         generated += len(label_images)
-        print(f"\rCreating images: {min(generated, args.num_images)}/{args.num_images}",
-              end="", flush=True)
+        print(
+            f"\rCreating images: "
+            f"{min(generated, args.num_images)}/{args.num_images}",
+            end="", flush=True,
+        )
+
+    while generated < args.num_images or pending is not None:
+        if generated < args.num_images:
+            z = next(latent_stream)
+            activations, images = generate(z)
+            batch_size = int(z.shape[0])
+            masks = (
+                segmenter.begin_prepare(activations)
+                if can_pipeline
+                else activations
+            )
+            new_pending = (images, masks, batch_size)
+        else:
+            new_pending = None
+        if pending is not None:
+            process(pending)
+        pending = new_pending
     print()
 
 

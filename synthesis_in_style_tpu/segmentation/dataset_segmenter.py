@@ -224,11 +224,10 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
 
         return prepare, plan
 
-    def prepare_image_segmentation(
-        self, activations: Dict[int, Array], class_label_map
-    ) -> PredictedClusters:
-        """Fused front half (see _build_prepare_fn); returns host numpy bool
-        masks per layer/class — downstream contour code is host-side anyway."""
+    def begin_prepare(self, activations: Dict[int, Array]) -> Array:
+        """Dispatch the fused front half; returns the (plan, B, S, S) device
+        array WITHOUT blocking — lets callers overlap the next batch's device
+        work with this batch's host contour stage."""
         if not hasattr(self, "_prepare_fn"):
             self._prepare_fn, self._prepare_plan = self._build_prepare_fn()
         acts = {
@@ -236,11 +235,23 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
             for k, v in activations.items()
             if str(k) in self.catalog
         }
-        stacked = np.asarray(self._prepare_fn(acts)).astype(bool)
+        return self._prepare_fn(acts)
+
+    def finish_prepare(self, stacked: Array) -> PredictedClusters:
+        """Block on the device result and split into the per-layer/class host
+        mask dict."""
+        stacked = np.asarray(stacked).astype(bool)
         predicted: PredictedClusters = {}
         for (layer_id, class_name), mask in zip(self._prepare_plan, stacked):
             predicted.setdefault(layer_id, {})[class_name] = mask
         return predicted
+
+    def prepare_image_segmentation(
+        self, activations: Dict[int, Array], class_label_map
+    ) -> PredictedClusters:
+        """Fused front half (see _build_prepare_fn); returns host numpy bool
+        masks per layer/class — downstream contour code is host-side anyway."""
+        return self.finish_prepare(self.begin_prepare(activations))
 
     # ---------------- host-side contour half (delegates) ----------------
 
@@ -419,9 +430,16 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         predicted_clusters = self.prepare_image_segmentation(
             activations, self.class_label_map
         )
+        batch_size = int(next(iter(activations.values())).shape[0])
+        return self.segment_prepared(predicted_clusters, batch_size)
+
+    def segment_prepared(
+        self, predicted_clusters: PredictedClusters, batch_size: int
+    ) -> Tuple[np.ndarray, List[int]]:
+        """Host contour half, taking already-transferred cluster masks — the
+        pipelined CLI overlaps this with the next batch's device work."""
         predicted_clusters = self.merge_sub_images(predicted_clusters)
 
-        batch_size = int(next(iter(activations.values())).shape[0])
         text_regions = self.extract_text_regions(predicted_clusters, batch_size)
         fine_grained = self.merge_finegrained_segmentation(
             predicted_clusters, batch_size
