@@ -188,6 +188,46 @@ def main(args: argparse.Namespace) -> None:
             trigger=(int(config.get("snapshot_save_iter", 10000)), "iteration"),
         )
     )
+    # StyleImagePlotter equivalent (reference utils/style_image_plotter.py:8-16):
+    # probe grid [binary | style | generated | reconstructed]
+    from synthesis_in_style_tpu.core.extensions import ImagePlotter
+    from synthesis_in_style_tpu.utils.dataset_creation import make_image as to_uint8
+
+    probe_binary = jnp.asarray(next(iter(fake_loader))["images"][:4])
+    probe_style = jnp.asarray(next(iter(real_loader))["images"][:4])
+
+    def render_probe(t):
+        import numpy as np
+
+        state = t.updater.state
+        variables = {"params": state.g_params}
+        if state.g_batch_stats:
+            variables["batch_stats"] = state.g_batch_stats
+        if state.g_noises:
+            variables["noises"] = state.g_noises
+        fake = generation_ae.apply(
+            variables, probe_binary, probe_style,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        recon = reconstruction_ae.apply(
+            state.reconstructor_variables, fake,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        rows = [
+            np.concatenate(
+                [to_uint8(col[i]) for col in (probe_binary, probe_style, fake, recon)],
+                axis=1,
+            )
+            for i in range(probe_binary.shape[0])
+        ]
+        return np.concatenate(rows, axis=0)
+
+    trainer.extend(
+        ImagePlotter(
+            render_probe, log_dir,
+            trigger=(int(config.get("image_save_iter", 1000)), "iteration"),
+        )
+    )
     trainer.extend(
         LogWriter(log_dir, trigger=(int(config.get("log_iter", 10)), "iteration"))
     )

@@ -64,6 +64,100 @@ def get_discriminator(
     raise NotImplementedError(f"stylegan variant {variant!r} not supported")
 
 
+def get_autoencoder(config: Dict[str, Any], autoencoder_type: str = "wplus"):
+    """Encoder+generator composition from a training config (reference
+    get_autoencoder dispatch on stylegan_variant + the get_stylegan2_*
+    factory family, networks/__init__.py:36-412).
+
+    autoencoder_type: 'wplus' | 'dropout' | 'two_stem' | 'content_and_style'
+    | 'superresolution' | 'wplus_resnet_noise'.
+    """
+    from synthesis_in_style_tpu.models.autoencoder import (
+        ContentAndStyleStyleganAutoencoder,
+        DropoutStyleganAutoencoder,
+        StyleganAutoencoder,
+        SuperResolutionStyleganAutoencoder,
+        TwoStemStyleganAutoencoder,
+    )
+    from synthesis_in_style_tpu.models.encoder import (
+        NoiseEncoder,
+        WPlusEncoder,
+        WPlusNoNoiseEncoder,
+        WPlusResnetNoiseEncoder,
+    )
+    from synthesis_in_style_tpu.models.stylegan2 import generator_channels
+
+    decoder = get_generator(config)
+    channels = generator_channels(config.get("channel_multiplier", 2))
+    image_size = config["image_size"]
+    latent_size = config.get("latent_size", 512)
+    in_ch = config.get("input_dim", 3)
+    variant = 2 if str(config.get("stylegan_variant", 2)) != "1" else 1
+
+    def wplus_encoder(num_channels=in_ch, **kwargs):
+        return WPlusEncoder(
+            image_size, latent_size, num_channels, channels,
+            stylegan_variant=variant, **kwargs,
+        )
+
+    if autoencoder_type == "wplus":
+        return StyleganAutoencoder(encoder=wplus_encoder(), decoder=decoder)
+    if autoencoder_type == "dropout":
+        return DropoutStyleganAutoencoder(
+            encoder=wplus_encoder(), decoder=decoder
+        )
+    if autoencoder_type == "wplus_resnet_noise":
+        return StyleganAutoencoder(
+            encoder=WPlusResnetNoiseEncoder(
+                image_size, latent_size, in_ch, channels,
+                stylegan_variant=variant,
+            ),
+            decoder=decoder,
+        )
+    if autoencoder_type == "content_and_style":
+        return ContentAndStyleStyleganAutoencoder(
+            encoder=wplus_encoder(num_channels=2 * in_ch), decoder=decoder
+        )
+    if autoencoder_type == "superresolution":
+        return SuperResolutionStyleganAutoencoder(
+            encoder=wplus_encoder(), decoder=decoder,
+            extend_noise_with_random=config.get(
+                "extend_noise_with_random", True
+            ),
+        )
+    if autoencoder_type == "two_stem":
+        return TwoStemStyleganAutoencoder(
+            latent_encoder=WPlusNoNoiseEncoder(
+                image_size, latent_size, in_ch, channels,
+                stylegan_variant=variant,
+            ),
+            noise_encoder=NoiseEncoder(
+                image_size, latent_size, in_ch, channels,
+                stylegan_variant=variant,
+            ),
+            decoder=decoder,
+        )
+    raise NotImplementedError(autoencoder_type)
+
+
+def load_autoencoder_or_generator(
+    checkpoint_path: Union[str, Path], config: Dict[str, Any]
+) -> Tuple[Any, Dict[str, Any]]:
+    """Load the full autoencoder when the snapshot carries an 'autoencoder'
+    entry, otherwise the generator via 'g_ema' (reference
+    load_autoencoder_or_generator, networks/__init__.py:415-423)."""
+    checkpoint_path = Path(checkpoint_path)
+    if checkpoint_path.is_dir():
+        from synthesis_in_style_tpu.utils.checkpoint import load_pytree
+
+        tree = load_pytree(checkpoint_path)
+        if "autoencoder" in tree:
+            ae = get_autoencoder(config)
+            variables = jax.tree_util.tree_map(jnp.asarray, tree["autoencoder"])
+            return ae, variables
+    return load_generator(checkpoint_path, config)
+
+
 def load_generator(
     checkpoint_path: Union[str, Path],
     config: Dict[str, Any],

@@ -1,0 +1,134 @@
+"""Adversarial-generator train CLI end-to-end + autoencoder factory
+(reference train_adversarial_generator.py, networks/__init__.py:396-423)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from synthesis_in_style_tpu.models.factory import (
+    get_autoencoder,
+    load_autoencoder_or_generator,
+)
+
+CONFIG = {
+    "image_size": 32,
+    "latent_size": 32,
+    "n_mlp": 2,
+    "channel_multiplier": 1,
+    "stylegan_variant": 2,
+    "input_dim": 3,
+}
+
+
+@pytest.mark.parametrize(
+    "kind", ["wplus", "dropout", "two_stem", "content_and_style",
+             "wplus_resnet_noise"]
+)
+def test_get_autoencoder_variants(kind):
+    ae = get_autoencoder(CONFIG, kind)
+    x = jnp.zeros((1, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    if kind == "content_and_style":
+        variables = ae.init(rngs, x, x, train=False)
+        out = ae.apply(variables, x, x, train=False,
+                       rngs={"noise": jax.random.PRNGKey(3),
+                             "dropout": jax.random.PRNGKey(4)})
+    else:
+        variables = ae.init(rngs, x, train=False)
+        out = ae.apply(variables, x, train=False,
+                       rngs={"noise": jax.random.PRNGKey(3),
+                             "dropout": jax.random.PRNGKey(4)})
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_load_autoencoder_or_generator(tmp_path):
+    from synthesis_in_style_tpu.models.stylegan2 import Generator
+    from synthesis_in_style_tpu.utils.checkpoint import save_pytree
+
+    # generator-only snapshot -> generator path
+    gen = Generator(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        [jnp.zeros((1, 32))],
+    )
+    ckpt = tmp_path / "snap"
+    save_pytree(ckpt, {"g_ema": variables["params"],
+                       "g_noises": variables["noises"]})
+    model, loaded = load_autoencoder_or_generator(ckpt, CONFIG)
+    assert isinstance(model, Generator)
+
+    # autoencoder snapshot -> autoencoder path
+    ae = get_autoencoder(CONFIG)
+    ae_vars = ae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), train=False,
+    )
+    ckpt2 = tmp_path / "snap_ae"
+    save_pytree(ckpt2, {"autoencoder": ae_vars})
+    model2, loaded2 = load_autoencoder_or_generator(ckpt2, CONFIG)
+    out = model2.apply(loaded2, jnp.zeros((1, 32, 32, 3)), train=False,
+                       rngs={"noise": jax.random.PRNGKey(2)})
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_adversarial_cli_end_to_end(tmp_path):
+    from synthesis_in_style_tpu.cli import train_adversarial_generator as adv
+    from synthesis_in_style_tpu.utils.checkpoint import latest_snapshot
+
+    rng = np.random.default_rng(0)
+    real = []
+    fake = []
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), np.uint8)
+        ).save(tmp_path / f"real_{i}.png")
+        real.append(f"real_{i}.png")
+        binary = (rng.uniform(size=(32, 32)) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(np.stack([binary] * 3, axis=-1)).save(
+            tmp_path / f"fake_{i}.png"
+        )
+        fake.append(f"fake_{i}.png")
+    (tmp_path / "real.json").write_text(json.dumps(real))
+    (tmp_path / "fake.json").write_text(json.dumps(fake))
+
+    config = dict(
+        CONFIG,
+        batch_size=2,
+        lr=1e-3,
+        beta1=0.5,
+        beta2=0.999,
+        weight_decay=0.0,
+        max_iter=2,
+        snapshot_save_iter=2,
+        image_save_iter=2,
+        log_iter=1,
+        num_workers=1,
+        loss_weights={"reconstruction": 2, "discriminator": 1,
+                      "style": 1e-7, "perceptual": 0.1},
+    )
+    config_path = tmp_path / "adv_config.yaml"
+    config_path.write_text(yaml.dump(config))
+
+    args = adv.build_parser().parse_args(
+        ["nonexistent_checkpoint", "--config", str(config_path),
+         "--original-images", str(tmp_path / "real.json"),
+         "--fake-images", str(tmp_path / "fake.json"), "--debug"]
+    )
+    args.log_dir = str(tmp_path / "logs")
+    adv.main(args)
+
+    assert latest_snapshot(tmp_path / "logs" / "checkpoints") is not None
+    log = [
+        json.loads(line)
+        for line in (tmp_path / "logs" / "log.jsonl").read_text().splitlines()
+    ]
+    keys = set().union(*(e.keys() for e in log))
+    assert "generator/loss" in keys and "discriminator/loss" in keys
+    assert "generator/reconstruction_loss" in keys
+    assert list((tmp_path / "logs" / "images").glob("*.png"))
