@@ -150,6 +150,9 @@ def main(args: argparse.Namespace) -> None:
         d_reg_every=int(reg.get("d_interval", 16)),
         g_reg_every=int(reg.get("g_interval", 4)),
         mixing_prob=float(config.get("style_mixing_prob", 0.9)),
+        # config key `compute_dtype: bfloat16` enables mixed-precision
+        # training (f32 masters, f32 R1/path-reg)
+        compute_dtype=config.get("compute_dtype"),
     )
 
     updater = StyleGAN2Updater(

@@ -42,6 +42,13 @@ class StyleGAN2Config:
     mixing_prob: float = 0.9
     path_batch_shrink: int = 2
     ema_decay: float = 0.5 ** (32 / (10 * 1000))
+    # mixed precision: run D/G forward+backward in this dtype (e.g.
+    # "bfloat16") with f32 master params/optimizer state; the lazy R1 and
+    # path-length double-grad steps stay f32 for accuracy. bf16 shares f32's
+    # exponent range, so no loss scaling is needed.
+    compute_dtype: Optional[str] = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
 
 @flax.struct.dataclass
@@ -113,24 +120,44 @@ def make_train_steps(
 
     n_latent = gen.n_latent
     style_dim = gen.style_dim
+    compute_dtype = (
+        jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype is not None else None
+    )
+
+    def _cast(tree):
+        """f32 leaves -> compute dtype (grad flows back to f32 masters)."""
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            tree,
+        )
 
     def _fake_images(g_params, g_noises, rng, batch):
         kz1, kz2, kmix, knoise = jax.random.split(rng, 4)
-        z1 = jax.random.normal(kz1, (batch, style_dim))
-        z2 = jax.random.normal(kz2, (batch, style_dim))
+        dtype = compute_dtype or jnp.float32
+        z1 = jax.random.normal(kz1, (batch, style_dim), dtype)
+        z2 = jax.random.normal(kz2, (batch, style_dim), dtype)
         inject = _sample_inject_index(kmix, cfg.mixing_prob, n_latent)
         img, _ = _mixed_forward(
-            gen, {"params": g_params, "noises": g_noises}, z1, z2, inject, knoise
+            gen,
+            {"params": _cast(g_params), "noises": _cast(g_noises)},
+            z1, z2, inject, knoise,
         )
         return img
 
     # ---------------- D step (ref :123-142) ----------------
     def d_step(state: GANTrainState, real: jax.Array, rng: jax.Array):
         fake = _fake_images(state.g_params, state.g_noises, rng, real.shape[0])
+        if compute_dtype is not None:
+            real = real.astype(compute_dtype)
 
         def loss_fn(d_params):
-            fake_pred = disc.apply({"params": d_params}, fake)
-            real_pred = disc.apply({"params": d_params}, real)
+            d_cast = _cast(d_params)
+            fake_pred = disc.apply({"params": d_cast}, fake).astype(jnp.float32)
+            real_pred = disc.apply({"params": d_cast}, real).astype(jnp.float32)
             loss = d_logistic_loss(real_pred, fake_pred)
             return loss, (jnp.mean(real_pred), jnp.mean(fake_pred))
 
@@ -167,7 +194,9 @@ def make_train_steps(
     def g_step(state: GANTrainState, rng: jax.Array):
         def loss_fn(g_params):
             fake = _fake_images(g_params, state.g_noises, rng, batch_size)
-            fake_pred = disc.apply({"params": state.d_params}, fake)
+            fake_pred = disc.apply(
+                {"params": _cast(state.d_params)}, fake
+            ).astype(jnp.float32)
             return g_nonsaturating_loss(fake_pred)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.g_params)
