@@ -120,6 +120,7 @@ class AnalysisSegmenter:
         network_variables=None,
         config: Optional[dict] = None,
         segmenter_config: Optional[SegmenterConfig] = None,
+        use_device_component_filter: bool = False,
     ):
         if config is None:
             config = load_config_from_checkpoint(model_checkpoint, original_config_path)
@@ -145,6 +146,11 @@ class AnalysisSegmenter:
         self.patch_overlap = resolve_patch_overlap(
             self.patch_size, patch_overlap, patch_overlap_factor
         )
+        # Optional TPU fast path: replace the host cv2 small-contour filter
+        # with device connected components (segmentation/device_cc.py) inside
+        # the jitted predict. Pixel-area semantics (vs cv2 polygon area) —
+        # thresholds are tuned per metric via the sweep CLI either way.
+        self.use_device_component_filter = use_device_component_filter
         self._predict_fn = None
 
     # ---------------- configuration ----------------
@@ -181,6 +187,8 @@ class AnalysisSegmenter:
             self._predict_fn = None  # min_confidence is baked into the jit
         if "min_contour_area" in hyperparam_config:
             replacements["min_contour_area"] = hyperparam_config["min_contour_area"]
+            if self.use_device_component_filter:
+                self._predict_fn = None  # area threshold is baked into the jit
         if replacements:
             import dataclasses
 
@@ -193,13 +201,34 @@ class AnalysisSegmenter:
     def _get_predict_fn(self):
         if self._predict_fn is None:
             min_confidence = self.segmenter_config.min_confidence
+            min_contour_area = int(self.segmenter_config.min_contour_area)
+            background = self.segmenter_config.background_class_id
+            num_classes = self.segmenter_config.num_classes
+            device_filter = self.use_device_component_filter
             network = self.network
             variables = self.network_variables
 
             @jax.jit
             def predict(images):
                 logits = network.apply(variables, images, train=False)
-                return predict_probabilities(logits, min_confidence)
+                probs = predict_probabilities(logits, min_confidence)
+                if device_filter and min_contour_area > 0:
+                    from synthesis_in_style_tpu.segmentation.device_cc import (
+                        filter_small_components,
+                    )
+
+                    kept = []
+                    for c in range(num_classes):
+                        channel = probs[..., c]
+                        if c == background:
+                            kept.append(channel)
+                            continue
+                        keep = filter_small_components(
+                            channel > 0, min_contour_area
+                        )
+                        kept.append(channel * keep)
+                    probs = jnp.stack(kept, axis=-1)
+                return probs
 
             self._predict_fn = predict
         return self._predict_fn
@@ -246,11 +275,12 @@ class AnalysisSegmenter:
                 pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
                 images = np.concatenate([images, pad], axis=0)
             probs = np.asarray(predict(jnp.asarray(images)))[:n]
-            probs = remove_too_small_contours(
-                probs,
-                self.segmenter_config.min_contour_area,
-                self.segmenter_config.background_class_id,
-            )
+            if not self.use_device_component_filter:
+                probs = remove_too_small_contours(
+                    probs,
+                    self.segmenter_config.min_contour_area,
+                    self.segmenter_config.background_class_id,
+                )
             for i, bbox in enumerate(batch["bboxes"]):
                 predicted.append({"prediction": probs[i], "bbox": bbox})
         return predicted

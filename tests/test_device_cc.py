@@ -1,0 +1,128 @@
+"""Device connected components vs OpenCV ground truth (partition
+equivalence) + the small-component filter."""
+
+import cv2
+import numpy as np
+import pytest
+
+from synthesis_in_style_tpu.segmentation.device_cc import (
+    connected_components,
+    filter_small_components,
+)
+
+
+def _partition(labels: np.ndarray) -> set:
+    groups = {}
+    for idx, lab in enumerate(labels.reshape(-1)):
+        if lab >= 0:
+            groups.setdefault(lab, []).append(idx)
+    return {frozenset(v) for v in groups.values()}
+
+
+def _cv2_partition(mask: np.ndarray) -> set:
+    n, cv_labels = cv2.connectedComponents(
+        mask.astype(np.uint8), connectivity=4
+    )
+    cv_labels = cv_labels.astype(np.int64) - 1  # background -> -1
+    return _partition(cv_labels)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("density", [0.2, 0.5, 0.8])
+def test_cc_matches_opencv_partitions(seed, density):
+    rng = np.random.default_rng(seed)
+    mask = rng.uniform(size=(48, 64)) < density
+    ours = np.asarray(connected_components(mask))
+    assert (ours[~mask] == -1).all()
+    assert _partition(ours) == _cv2_partition(mask)
+
+
+def test_cc_snake_component():
+    """A single serpentine component exercises the iteration bound."""
+    mask = np.zeros((16, 16), bool)
+    for row in range(0, 16, 2):
+        mask[row, :] = True
+        if row + 1 < 16:
+            mask[row + 1, 15 if (row // 2) % 2 == 0 else 0] = True
+    ours = np.asarray(connected_components(mask))
+    assert _partition(ours) == _cv2_partition(mask)
+    labels = set(ours[mask].tolist())
+    assert len(labels) == 1  # one snake
+
+
+def test_cc_batched():
+    rng = np.random.default_rng(3)
+    masks = rng.uniform(size=(3, 20, 20)) < 0.4
+    ours = np.asarray(connected_components(masks))
+    for i in range(3):
+        assert _partition(ours[i]) == _cv2_partition(masks[i])
+
+
+def test_filter_small_components():
+    mask = np.zeros((32, 32), bool)
+    mask[2:4, 2:4] = True      # area 4 -> dropped
+    mask[10:20, 10:20] = True  # area 100 -> kept
+    out = np.asarray(filter_small_components(mask, min_area=10))
+    assert not out[2:4, 2:4].any()
+    assert out[10:20, 10:20].all()
+    # threshold 0 keeps everything
+    np.testing.assert_array_equal(
+        np.asarray(filter_small_components(mask, 0)), mask
+    )
+
+
+def test_analysis_segmenter_device_filter_matches_host(tmp_path):
+    """The device component filter plugged into patch inference behaves like
+    the host path on blob-structured predictions (area semantics differ only
+    near thresholds; use a decisive margin)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
+    from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
+        AnalysisSegmenter,
+    )
+
+    class BlobNet(nn.Module):
+        """Deterministic logits: a big blob of class 1 + a tiny speck."""
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, h, w, _ = x.shape
+            logits = jnp.zeros((b, h, w, 2))
+            ys, xs = jnp.mgrid[0:h, 0:w]
+            big = (ys > h // 4) & (ys < 3 * h // 4) & (xs > w // 4) & (xs < 3 * w // 4)
+            tiny = (ys < 2) & (xs < 2)
+            fg = (big | tiny)[None, :, :]
+            logits = logits.at[..., 1].set(jnp.where(fg, 5.0, -5.0))
+            logits = logits.at[..., 0].set(jnp.where(fg, -5.0, 5.0))
+            # touch the dummy param so init works
+            _ = self.param("dummy", nn.initializers.zeros, (1,))
+            return logits
+
+    net = BlobNet()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    config = {"image_size": 32, "batch_size": 2, "num_classes": 2}
+
+    def build(device_filter):
+        return AnalysisSegmenter(
+            None,
+            class_to_color_map={"background": "#000000", "printed_text": "#0000FF"},
+            network=net,
+            network_variables=variables,
+            config=config,
+            segmenter_config=SegmenterConfig(
+                num_classes=2, min_confidence=0.5, min_contour_area=20
+            ),
+            use_device_component_filter=device_filter,
+        )
+
+    from PIL import Image
+
+    page = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    host = build(False).segment_image(page)
+    device = build(True).segment_image(page)
+    # tiny speck removed, big blob kept — identically
+    np.testing.assert_allclose(host, device, atol=1e-5)
+    assert (np.argmax(device, axis=-1) == 1).sum() > 0
