@@ -184,6 +184,10 @@ def main(args: argparse.Namespace) -> None:
         max_image_size=int(model_config.get("max_image_size", 0)) or None,
         print_progress=False,
         show_confidence_in_segmentation=args.show_confidence,
+        use_device_component_filter=(
+            args.use_device_component_filter
+            or bool(model_config.get("use_device_component_filter", False))
+        ),
     )
     class_to_color_map = segmenter.class_to_color_map
     class_names = list(class_to_color_map.keys())
@@ -331,6 +335,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--show-confidence", action="store_true", default=False)
     parser.add_argument("--overlay-segmentation", action="store_true",
                         default=False)
+    parser.add_argument("--use-device-component-filter", action="store_true",
+                        default=False,
+                        help="Run the small-component postprocess on device "
+                        "(segmentation/device_cc.py) instead of host cv2 "
+                        "contours. Pixel-area semantics.")
     return parser
 
 

@@ -214,20 +214,38 @@ class AnalysisSegmenter:
                 probs = predict_probabilities(logits, min_confidence)
                 if device_filter and min_contour_area > 0:
                     from synthesis_in_style_tpu.segmentation.device_cc import (
+                        binary_closing,
                         filter_small_components,
                     )
 
-                    kept = []
-                    for c in range(num_classes):
-                        channel = probs[..., c]
-                        if c == background:
-                            kept.append(channel)
-                            continue
-                        keep = filter_small_components(
-                            channel > 0, min_contour_area
-                        )
-                        kept.append(channel * keep)
-                    probs = jnp.stack(kept, axis=-1)
+                    # Mirror the host postprocess semantics
+                    # (models/base_segmenter.py get_contours_from_prediction):
+                    # uint8-quantization foreground threshold (so
+                    # min_confidence=0 is NOT a silent no-op), 5x5
+                    # morphological close, then zero ONLY the small closed
+                    # components — pixels outside any closed region keep
+                    # their (tiny) probabilities exactly like the host path.
+                    # Non-background classes fold into the batch axis so one
+                    # while_loop labels them all at once.
+                    b, h, w, _ = probs.shape
+                    class_ids = [
+                        c for c in range(num_classes) if c != background
+                    ]
+                    channels = jnp.stack(
+                        [probs[..., c] for c in class_ids], axis=0
+                    ).reshape(len(class_ids) * b, h, w)
+                    mask = channels > (0.5 / 255.0)
+                    closed = binary_closing(mask, 5)
+                    big = filter_small_components(closed, min_contour_area)
+                    small = jnp.logical_and(closed, jnp.logical_not(big))
+                    kept = (channels * jnp.logical_not(small)).reshape(
+                        len(class_ids), b, h, w
+                    )
+                    out = [None] * num_classes
+                    for j, c in enumerate(class_ids):
+                        out[c] = kept[j]
+                    out[background] = probs[..., background]
+                    probs = jnp.stack(out, axis=-1)
                 return probs
 
             self._predict_fn = predict

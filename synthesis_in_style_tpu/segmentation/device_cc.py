@@ -70,7 +70,11 @@ def connected_components(mask: Array, max_iters: int | None = None) -> Array:
 
     Args:
       mask: (B, H, W) or (H, W) bool.
-      max_iters: sweep bound; defaults to H + W (the diameter bound).
+      max_iters: safety cap on sweeps. Each sweep extends the minimum label
+        of a not-yet-converged component across at least one more run, and a
+        component has at most H*W/2 runs, so the default H*W//2 + 2 is a
+        TRUE bound even for maze-shaped 1px components (the loop exits at
+        the fixpoint long before this for realistic masks).
 
     Returns:
       int32 labels, same shape: background = -1, each component labeled by
@@ -81,7 +85,7 @@ def connected_components(mask: Array, max_iters: int | None = None) -> Array:
         mask = mask[None]
     b, h, w = mask.shape
     if max_iters is None:
-        max_iters = h + w
+        max_iters = h * w // 2 + 2
 
     seeds = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
     labels = jnp.where(mask, seeds, _INF)
@@ -102,6 +106,26 @@ def connected_components(mask: Array, max_iters: int | None = None) -> Array:
     )
     labels = jnp.where(mask, labels, -1)
     return labels[0] if squeeze else labels
+
+
+@partial(jax.jit, static_argnames=("size",))
+def binary_closing(mask: Array, size: int = 5) -> Array:
+    """Morphological close (dilate then erode) with a size x size square —
+    the host postprocess closes with a 5x5 kernel before finding contours
+    (models/base_segmenter.py get_contours_from_prediction)."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    pad = size // 2
+    window = (1, size, size)
+    pads = [(0, 0), (pad, pad), (pad, pad)]
+    x = mask.astype(jnp.float32)
+    dilated = lax.reduce_window(x, -jnp.inf, lax.max, window, (1, 1, 1), pads)
+    closed = lax.reduce_window(
+        dilated, jnp.inf, lax.min, window, (1, 1, 1), pads
+    )
+    out = closed > 0.5
+    return out[0] if squeeze else out
 
 
 @jax.jit

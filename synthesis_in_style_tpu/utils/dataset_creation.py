@@ -64,7 +64,12 @@ def build_latent_and_noise_generator(
 
 def make_generate_fn(gen, variables, truncation_latent: Optional[jax.Array] = None):
     """Jitted z -> (activations dict, images). Truncation 0.7 iff a mean
-    latent is provided (reference generate_images :40-59)."""
+    latent is provided (reference generate_images :40-59).
+
+    Images are converted to uint8 ON DEVICE — the [-1,1] float image only
+    exists in HBM and the device→host transfer is 4x smaller (matters on
+    remote-device links and PCIe alike). `make_image` passes uint8 through.
+    """
     truncation = 0.7 if truncation_latent is not None else 1.0
 
     @jax.jit
@@ -77,6 +82,9 @@ def make_generate_fn(gen, variables, truncation_latent: Optional[jax.Array] = No
             randomize_noise=False,
             return_intermediate_activations=True,
         )
+        image = jnp.clip(
+            jnp.round((image.astype(jnp.float32) + 1.0) * 127.5), 0, 255
+        ).astype(jnp.uint8)
         return activations, image
 
     return generate
@@ -94,7 +102,12 @@ def compute_mean_latent(gen, variables, n: int = 4096, seed: int = 0) -> jax.Arr
 def make_image(tensor) -> np.ndarray:
     """[-1, 1] float (B, H, W, C) -> uint8 (replaces
     pytorch_training.images.make_image, used at reference
-    create_dataset_for_segmentation.py:135)."""
+    create_dataset_for_segmentation.py:135). uint8 inputs (already converted
+    on device) pass through."""
+    if getattr(tensor, "dtype", None) == np.uint8 or (
+        hasattr(tensor, "dtype") and str(tensor.dtype) == "uint8"
+    ):
+        return np.asarray(tensor)
     arr = np.asarray(tensor, dtype=np.float32)
     arr = (arr + 1.0) * 127.5
     return np.clip(np.rint(arr), 0, 255).astype(np.uint8)

@@ -126,3 +126,83 @@ def test_analysis_segmenter_device_filter_matches_host(tmp_path):
     # tiny speck removed, big blob kept — identically
     np.testing.assert_allclose(host, device, atol=1e-5)
     assert (np.argmax(device, axis=-1) == 1).sum() > 0
+
+
+def test_cc_spiral_maze_converges():
+    """1px spiral: many bends — exercises the true H*W/2 iteration bound
+    (the old H+W bound fragmented such components)."""
+    n = 24
+    mask = np.zeros((n, n), bool)
+    top, bottom, left, right = 0, n - 1, 0, n - 1
+    while top <= bottom and left <= right:
+        mask[top, left:right + 1] = True
+        mask[top:bottom + 1, right] = True
+        mask[bottom, left:right + 1] = True
+        # leave a gap so the spiral stays one component
+        mask[top + 2:bottom + 1, left] = True
+        top += 2
+        bottom -= 2
+        left += 2
+        right -= 2
+    ours = np.asarray(connected_components(mask))
+    assert _partition(ours) == _cv2_partition(mask)
+
+
+def test_binary_closing_matches_cv2():
+    import cv2 as _cv2
+
+    from synthesis_in_style_tpu.segmentation.device_cc import binary_closing
+
+    rng = np.random.default_rng(7)
+    mask = rng.uniform(size=(40, 40)) < 0.3
+    ours = np.asarray(binary_closing(mask, 5))
+    theirs = _cv2.morphologyEx(
+        mask.astype(np.uint8) * 255, _cv2.MORPH_CLOSE, np.ones((5, 5), np.uint8)
+    ) > 0
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_device_filter_active_at_zero_confidence():
+    """min_confidence=0 must not make the device filter a no-op (softmax
+    probs are strictly positive; the uint8-quantization threshold applies)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
+    from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
+        AnalysisSegmenter,
+    )
+
+    class SpeckNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, h, w, _ = x.shape
+            ys, xs = jnp.mgrid[0:h, 0:w]
+            tiny = ((ys < 2) & (xs < 2))[None]
+            logits = jnp.zeros((b, h, w, 2))
+            logits = logits.at[..., 1].set(jnp.where(tiny, 8.0, -8.0))
+            _ = self.param("dummy", nn.initializers.zeros, (1,))
+            return logits
+
+    net = SpeckNet()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    seg = AnalysisSegmenter(
+        None,
+        class_to_color_map={"background": "#000000", "printed_text": "#0000FF"},
+        network=net,
+        network_variables=variables,
+        config={"image_size": 32, "batch_size": 1, "num_classes": 2},
+        segmenter_config=SegmenterConfig(
+            num_classes=2, min_confidence=0.0, min_contour_area=30
+        ),
+        use_device_component_filter=True,
+    )
+    from PIL import Image
+
+    out = seg.segment_image(Image.fromarray(np.zeros((32, 32, 3), np.uint8)))
+    # the 2x2 speck (area 4, closed to <=36... area 36 < ...) — with 5x5
+    # closing the speck grows to 6x6=36 >= 30, so use a bigger threshold
+    seg.set_hyperparams({"min_contour_area": 50})
+    out = seg.segment_image(Image.fromarray(np.zeros((32, 32, 3), np.uint8)))
+    assert (np.argmax(out, axis=-1) == 1).sum() == 0
