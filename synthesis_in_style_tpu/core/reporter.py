@@ -20,19 +20,32 @@ class Reporter:
         self._values: Dict[str, list] = defaultdict(list)
 
     def add_observation(self, values: Mapping[str, float] | float, prefix: str = ""):
+        """Store observations WITHOUT materializing device scalars — a
+        `float()` here would force a device→host sync every training
+        iteration, serializing the async dispatch pipeline (on a remote
+        device link this dominated the whole step). Values stay as (possibly
+        device) arrays until a logger drains them at its trigger interval."""
         if not isinstance(values, Mapping):
             values = {"value": values}
         for name, value in values.items():
             key = f"{prefix}/{name}" if prefix else name
-            self._values[key].append(float(np.asarray(value)))
+            self._values[key].append(value)
 
     def flush(self) -> Dict[str, float]:
-        means = {k: float(np.mean(v)) for k, v in self._values.items() if v}
+        # one batched device->host fetch for the whole window (per-scalar
+        # np.asarray would pay a link round trip each)
+        import jax
+
+        host_values = jax.device_get({k: v for k, v in self._values.items() if v})
+        means = {
+            k: float(np.mean([float(x) for x in v]))
+            for k, v in host_values.items()
+        }
         self._values.clear()
         return means
 
     def peek_latest(self) -> Dict[str, float]:
-        return {k: v[-1] for k, v in self._values.items() if v}
+        return {k: float(np.asarray(v[-1])) for k, v in self._values.items() if v}
 
     @contextmanager
     def scope(self):
