@@ -241,7 +241,10 @@ def main(args: argparse.Namespace) -> None:
         )
     )
 
-    trainer.train()
+    from synthesis_in_style_tpu.utils.profiling import trace
+
+    with trace(getattr(args, "profile_dir", None)):
+        trainer.train()
 
 
 class _ImagesOnly:
@@ -275,6 +278,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wandb-project-name", default=None)
     parser.add_argument("--wandb-entity", default=None)
     parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the run")
     return parser
 
 

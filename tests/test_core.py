@@ -120,3 +120,20 @@ def test_warm_restarts_schedule():
     assert float(sched(0)) == pytest.approx(1.0)
     assert float(sched(10)) == pytest.approx(1.0)  # restart
     assert float(sched(5)) < 1.0
+
+
+def test_profiling_harness(tmp_path):
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.utils.profiling import StepTimer, trace
+
+    timer = StepTimer()
+    with trace(tmp_path / "trace"):
+        for _ in range(3):
+            timer.start()
+            x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+            timer.stop(fetch=x)
+    summary = timer.summary()
+    assert summary["steps"] == 3 and summary["total_s"] > 0
+    # the profiler wrote a trace directory
+    assert any((tmp_path / "trace").rglob("*"))
