@@ -81,14 +81,23 @@ class Trainer:
         self.start_time = time.time()
         for ext in self.extensions:
             ext.initialize(self)
-        with self.reporter.scope():
-            while not self.stop_trigger(self):
-                self.updater.update()
-                for ext in self.extensions:
-                    if ext.trigger is None or ext.trigger(self):
-                        ext(self)
-        for ext in self.extensions:
-            ext.finalize(self)
+        try:
+            with self.reporter.scope():
+                while not self.stop_trigger(self):
+                    self.updater.update()
+                    for ext in self.extensions:
+                        if ext.trigger is None or ext.trigger(self):
+                            ext(self)
+        finally:
+            # finalizers MUST run on crash/interrupt too: the snapshotter's
+            # async orbax save has to be awaited (else a killed in-flight
+            # write leaves a corrupt checkpoint), the last log window has to
+            # flush, wandb has to finish
+            for ext in self.extensions:
+                try:
+                    ext.finalize(self)
+                except Exception:  # noqa: BLE001 — don't mask the original error
+                    logger.exception("extension %r failed to finalize", ext)
         logger.info(
             "training finished after %d iterations in %.1fs",
             self.updater.iteration,

@@ -159,7 +159,6 @@ class BaseDatasetGANDataset:
         policy (TPU-first fast path)."""
         rng = np.random.default_rng(seed)
         labels_flat = self.pixel_labels.reshape(-1)
-        acts_flat = self.pixel_activations.reshape(-1, self.feature_vector_length)
         n_batches_per_epoch = max(1, len(self) // batch_size)
         buckets = None
         probs = None
@@ -181,6 +180,12 @@ class BaseDatasetGANDataset:
                 )
             else:
                 idx = rng.integers(0, labels_flat.size, batch_size)
+            # re-read pixel_activations EVERY batch: reset_dataset() rebinds
+            # it each epoch for generation-backed datasets, and a captured
+            # flattened view would silently serve stale activations
+            acts_flat = self.pixel_activations.reshape(
+                -1, self.feature_vector_length
+            )
             yield {
                 "activations": acts_flat[idx],
                 "label": labels_flat[idx],

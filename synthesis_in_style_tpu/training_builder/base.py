@@ -179,10 +179,15 @@ class BaseTrainBuilder:
     # ---------------- evaluation / plotting ----------------
 
     def _predict_logits(self, state: SegTrainState, images):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        return self.network.apply(variables, images, train=False)
+        if not hasattr(self, "_predict_logits_jit"):
+            def apply_fn(params, batch_stats, images):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return self.network.apply(variables, images, train=False)
+
+            self._predict_logits_jit = jax.jit(apply_fn)
+        return self._predict_logits_jit(state.params, state.batch_stats, images)
 
     def get_evaluator(self) -> Optional[Evaluator]:
         if self.val_data_loader is None:

@@ -68,7 +68,14 @@ class EMANetTrainBuilder(BaseTrainBuilder):
         )
 
     def _predict_logits(self, state, images):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        return self.network.apply(variables, images, state.extra, train=False)
+        if not hasattr(self, "_predict_logits_jit"):
+            def apply_fn(params, batch_stats, mu, images):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return self.network.apply(variables, images, mu, train=False)
+
+            self._predict_logits_jit = jax.jit(apply_fn)
+        return self._predict_logits_jit(
+            state.params, state.batch_stats, state.extra, images
+        )

@@ -17,20 +17,6 @@ from synthesis_in_style_tpu.updaters.dataset_gan_updater import DatasetGANUpdate
 
 
 class PixelEnsembleTrainBuilder(BaseTrainBuilder):
-    def __init__(self, config, train_data_loader=None, val_data_loader=None,
-                 seed: int = 0):
-        # the ensemble needs the dataset's feature vector length (reference
-        # :32-38)
-        self.config = config
-        self.train_data_loader = train_data_loader
-        self.val_data_loader = val_data_loader
-        self.fine_tune = config.get("fine_tune")
-        self.seed = seed
-        self._tx = None
-        self._state = None
-        self._updater = None
-        self.network = self._build_network()
-
     @property
     def train_dataset(self):
         loader = self.train_data_loader
@@ -45,12 +31,28 @@ class PixelEnsembleTrainBuilder(BaseTrainBuilder):
                 '"get_feature_vector_length" method. However, this is '
                 "required for initializing the PixelEnsemble classifier"
             )
-        return PixelEnsembleClassifier(
+        ensemble = PixelEnsembleClassifier(
             self.config.get("numpy_class", self.config.get("num_classes", 3)),
             get_len(),
             self.config["num_models"],
             seed=self.seed,
         )
+        if self.fine_tune:
+            # resume the stacked ensemble variables from a snapshot
+            # (reference fine-tune loading, base_train_builder.py:37-38)
+            import jax
+            import jax.numpy as jnp
+
+            from synthesis_in_style_tpu.utils.checkpoint import load_pytree
+
+            tree = load_pytree(self.fine_tune)
+            assert "pixel_ensemble" in tree, (
+                f"fine-tune snapshot {self.fine_tune} has no 'pixel_ensemble'"
+            )
+            ensemble.variables = jax.tree_util.tree_map(
+                jnp.asarray, tree["pixel_ensemble"]
+            )
+        return ensemble
 
     def segmenter_config(self) -> SegmenterConfig:
         return SegmenterConfig(num_classes=self.network.num_classes)

@@ -46,7 +46,6 @@ def masked_encoder_tx(
     """Update only encoder params; decoder updates are zeroed (reference
     UpdateDisabler(decoder) + trainable_parameters(),
     autoencoder_updater.py:61)."""
-    mask = encoder_param_mask(params)
 
     def label_fn(p):
         return jax.tree_util.tree_map(
@@ -54,7 +53,6 @@ def masked_encoder_tx(
             encoder_param_mask(p),
         )
 
-    del mask
     return optax.multi_transform(
         {"train": base_tx, "freeze": optax.set_to_zero()}, label_fn
     )

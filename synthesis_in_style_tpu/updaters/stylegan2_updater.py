@@ -190,7 +190,7 @@ def make_train_steps(
         state = state.replace(d_params=d_params, d_opt=d_opt)
         return state, {"r1_penalty": r1}
 
-    # ---------------- G step + EMA (ref :158-173, :53-60) ----------------
+    # ---------------- G step (ref :158-173) ----------------
     def g_step(state: GANTrainState, rng: jax.Array):
         def loss_fn(g_params):
             fake = _fake_images(g_params, state.g_noises, rng, batch_size)
@@ -202,16 +202,22 @@ def make_train_steps(
         loss, grads = jax.value_and_grad(loss_fn)(state.g_params)
         updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
+        state = state.replace(
+            g_params=g_params, g_opt=g_opt, step=state.step + 1
+        )
+        return state, {"generator_loss": loss}
+
+    # ---------------- EMA accumulate (ref :53-60) -------------------------
+    # Runs LAST in update_core — after the path-length regularization has
+    # touched g_params — matching the reference's accumulate-at-end order
+    # (stylegan_2_updater.py:223).
+    def ema_step(state: GANTrainState):
         g_ema = jax.tree_util.tree_map(
             lambda e, p: e * cfg.ema_decay + (1 - cfg.ema_decay) * p,
             state.g_ema,
-            g_params,
+            state.g_params,
         )
-        state = state.replace(
-            g_params=g_params, g_opt=g_opt, g_ema=g_ema,
-            step=state.step + 1,
-        )
-        return state, {"generator_loss": loss}
+        return state.replace(g_ema=g_ema), {}
 
     # ---------------- path-length regularization (ref :175-200) ----------
     def g_reg_step(state: GANTrainState, rng: jax.Array):
@@ -275,6 +281,7 @@ def make_train_steps(
         "d_reg_step": jax.jit(d_reg_step, **donate_kw),
         "g_step": jax.jit(g_step, **donate_kw),
         "g_reg_step": jax.jit(g_reg_step, **donate_kw),
+        "ema_step": jax.jit(ema_step, **donate_kw),
     }
 
 
@@ -320,5 +327,8 @@ class StyleGAN2Updater(Updater):
         if self.cfg.g_reg_every > 0 and self.iteration % self.cfg.g_reg_every == 0:
             self.state, m = self.steps["g_reg_step"](self.state, self.next_rng())
             metrics.update(m)
+
+        # EMA last, after all generator updates this iteration (ref :223)
+        self.state, _ = self.steps["ema_step"](self.state)
 
         self.report({k: v for k, v in metrics.items()}, prefix="train")

@@ -207,3 +207,51 @@ def test_dataset_gan_end_to_end(tmp_path):
     pngs = list((tmp_path / "synth").glob("**/*.png"))
     assert len(pngs) >= 4
     assert (tmp_path / "synth" / "coco_gt.json").exists()
+
+
+def test_generation_dataset_reset_refreshes_batches(tmp_path):
+    """reset_dataset() must change the batches the training stream serves —
+    a captured flattened view would silently keep epoch-1 activations."""
+    import json as _json
+
+    from synthesis_in_style_tpu.data.dataset_gan_dataset import (
+        DatasetGANGenerationDataset,
+    )
+
+    rng = np.random.default_rng(0)
+    latents = rng.normal(size=(2, 4)).astype(np.float32)
+    np.savez(tmp_path / "tensors.npz", latent_codes=latents,
+             activations=np.asarray([], dtype=object))
+    for i in range(2):
+        label = np.zeros((8, 8, 3), np.uint8)
+        Image.fromarray(label).save(tmp_path / f"label_{i}.png")
+    manifest = [
+        {"image": f"label_{i}.png", "label": f"label_{i}.png", "latent": i}
+        for i in range(2)
+    ]
+    (tmp_path / "train.json").write_text(_json.dumps(manifest))
+    colors = tmp_path / "colors.json"
+    colors.write_text(_json.dumps(CLASS_TO_COLOR))
+
+    calls = {"n": 0}
+
+    def generator_fn(latents_in, seed):
+        calls["n"] += 1
+        # activations depend on the call count -> every reset changes them
+        base = np.full((len(latents_in), 4, 4, 2), float(calls["n"]), np.float32)
+        return {0: jnp.asarray(base)}
+
+    dataset = DatasetGANGenerationDataset(
+        json_path=tmp_path / "train.json",
+        tensor_path=tmp_path / "tensors.npz",
+        class_to_color_map_path=colors,
+        image_size=8,
+        generator_fn=generator_fn,
+    )
+    stream = dataset.sample_pixel_batches(batch_size=4, seed=0)
+    first = next(stream)["activations"].copy()
+    dataset.reset_dataset()
+    second = next(stream)["activations"]
+    assert not np.allclose(first, second), (
+        "stream kept serving stale pre-reset activations"
+    )

@@ -133,3 +133,40 @@ def test_data_parallel_gan_step(setup, eight_devices):
         float(m_single["discriminator_loss"]),
         rtol=1e-5,
     )
+
+
+def test_ema_accumulates_after_path_regularization():
+    """EMA must blend the POST-regularization params (reference accumulate
+    runs at the end of update_core, stylegan_2_updater.py:223)."""
+    import numpy as np
+    import optax
+
+    from synthesis_in_style_tpu.models.stylegan2 import Discriminator, Generator
+    from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+        StyleGAN2Config,
+        create_gan_train_state,
+        make_train_steps,
+    )
+
+    size = 16
+    gen = Generator(size=size, style_dim=32, n_mlp=2, channel_multiplier=1)
+    disc = Discriminator(size=size, channel_multiplier=1)
+    tx = optax.sgd(1e-2)
+    state = create_gan_train_state(gen, disc, jax.random.PRNGKey(0), size, tx, tx)
+    cfg = StyleGAN2Config()
+    steps = make_train_steps(gen, disc, tx, tx, cfg, batch_size=2, donate=False)
+
+    state, _ = steps["g_step"](state, jax.random.PRNGKey(1))
+    state, _ = steps["g_reg_step"](state, jax.random.PRNGKey(2))
+    state, _ = steps["ema_step"](state)
+
+    # ema = decay*ema0 + (1-decay)*g_params_post_reg; verify one leaf exactly
+    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    ema_leaf = jax.tree_util.tree_leaves(state.g_ema)[0]
+    # recompute from a fresh state0's ema (== initial params copy)
+    state0 = create_gan_train_state(gen, disc, jax.random.PRNGKey(0), size, tx, tx)
+    ema0_leaf = jax.tree_util.tree_leaves(state0.g_ema)[0]
+    expected = cfg.ema_decay * np.asarray(ema0_leaf) + (
+        1 - cfg.ema_decay
+    ) * np.asarray(leaf)
+    np.testing.assert_allclose(np.asarray(ema_leaf), expected, rtol=1e-5)
