@@ -259,6 +259,85 @@ def convert_autoencoder_checkpoint(checkpoint: Dict) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# torch -> flax DocUFCN conversion
+# ---------------------------------------------------------------------------
+
+def _conv_bn_t2f(
+    prefix: str,
+    sd: Dict[str, np.ndarray],
+    params: Dict[str, Any],
+    stats: Dict[str, Any],
+    transpose: bool = False,
+) -> None:
+    """One reference conv+BN layer (doc_ufcn.py:44-51 build_conv_layer) ->
+    our ConvBNActDrop {conv, bn} params + batch_stats."""
+    w = np.asarray(sd[f"{prefix}.conv.weight"])
+    if transpose:
+        # torch ConvTranspose2d weight (in, out, kh, kw); flax ConvTranspose
+        # correlates the non-flipped kernel with the zero-inserted input, so
+        # the torch "stamp w at each input pixel" semantics need the spatial
+        # axes reversed.
+        kernel = w.transpose(2, 3, 0, 1)[::-1, ::-1]
+    else:
+        kernel = w.transpose(2, 3, 1, 0)  # (out, in, kh, kw) -> (kh, kw, in, out)
+    params["conv"] = {
+        "kernel": np.ascontiguousarray(kernel),
+        "bias": np.asarray(sd[f"{prefix}.conv.bias"]),
+    }
+    params["bn"] = {
+        "scale": np.asarray(sd[f"{prefix}.bn.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bn.bias"]),
+    }
+    stats["bn"] = {
+        "mean": np.asarray(sd[f"{prefix}.bn.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}.bn.running_var"]),
+    }
+
+
+def torch_doc_ufcn_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference DocUFCN state_dict (doc_ufcn.py:11-82; torch Sequential
+    naming `encoder_blocks.{b}.{i}.{conv,bn}`, `decoder_blocks.{d}.{conv,
+    upsample}.{conv,bn}`, `classifier`) -> {"params", "batch_stats"} for
+    models.doc_ufcn.DocUFCN (base / no_dropout variants)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    n_enc = len({k.split(".")[1] for k in sd if k.startswith("encoder_blocks.")})
+    for b in range(n_enc):
+        block_p: Dict[str, Any] = {}
+        block_s: Dict[str, Any] = {}
+        n_convs = len(
+            {k.split(".")[2] for k in sd if k.startswith(f"encoder_blocks.{b}.")}
+        )
+        for i in range(n_convs):
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            _conv_bn_t2f(f"encoder_blocks.{b}.{i}", sd, p, s)
+            block_p[f"conv_{i}"] = p
+            block_s[f"conv_{i}"] = s
+        params[f"encoder_{b}"] = block_p
+        stats[f"encoder_{b}"] = block_s
+
+    n_dec = len({k.split(".")[1] for k in sd if k.startswith("decoder_blocks.")})
+    for d in range(n_dec):
+        block_p, block_s = {}, {}
+        for sub, transpose in (("conv", False), ("upsample", True)):
+            p, s = {}, {}
+            _conv_bn_t2f(f"decoder_blocks.{d}.{sub}", sd, p, s, transpose=transpose)
+            block_p[sub] = p
+            block_s[sub] = s
+        params[f"decoder_{d}"] = block_p
+        stats[f"decoder_{d}"] = block_s
+
+    params["classifier"] = {
+        "kernel": np.asarray(sd["classifier.weight"]).transpose(2, 3, 1, 0),
+        "bias": np.asarray(sd["classifier.bias"]),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # reference .pt loading
 # ---------------------------------------------------------------------------
 
