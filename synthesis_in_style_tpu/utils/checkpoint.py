@@ -338,6 +338,90 @@ def torch_doc_ufcn_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# torch -> flax StyleGAN1 conversion
+# ---------------------------------------------------------------------------
+
+def _equal_lin_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference EqualLinear (equal_lr-wrapped nn.Linear: `.linear.weight_orig`,
+    stylegan1/model.py:27-55, :197-208) -> our stylegan1.EqualLinear."""
+    return {
+        "weight": np.asarray(sd[f"{prefix}.linear.weight_orig"]).T,
+        "bias": np.asarray(sd[f"{prefix}.linear.bias"]),
+    }
+
+
+def _equal_conv_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference EqualConv2d (`.conv.weight_orig` (out,in,kh,kw),
+    stylegan1/model.py:185-194) -> our stylegan1.EqualConv (kh,kw,in,out)."""
+    return {
+        "weight": np.asarray(sd[f"{prefix}.conv.weight_orig"]).transpose(2, 3, 1, 0),
+        "bias": np.asarray(sd[f"{prefix}.conv.bias"]),
+    }
+
+
+def _adain_t2f(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference AdaptiveInstanceNorm: style bias[:C] is initialized to 1 and
+    gamma used directly (model.py:270-287); ours stores bias around 0 and adds
+    1 at call time — shift the first half of the bias."""
+    lin = _equal_lin_t2f(f"{prefix}.style", sd)
+    bias = lin["bias"].copy()
+    c = bias.shape[0] // 2
+    bias[:c] -= 1.0
+    lin["bias"] = bias
+    return {"style": lin}
+
+
+def torch_stylegan1_generator_to_flax(
+    state_dict: Dict[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Reference StyledGenerator state_dict (stylegan1/model.py:463-530) ->
+    flax variables for models.stylegan1.StyledGenerator."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+
+    # style MLP: torch Sequential [PixelNorm, (EqualLinear, LeakyReLU)*n]
+    lin_ids = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.fullmatch(r"style\.(\d+)\.linear\.weight_orig", k))
+    )
+    for our_i, torch_i in enumerate(lin_ids):
+        params[f"style_{our_i}"] = _equal_lin_t2f(f"style.{torch_i}", sd)
+
+    gen: Dict[str, Any] = {}
+    n_blocks = len(
+        {k.split(".")[2] for k in sd if k.startswith("generator.progression.")}
+    )
+    for i in range(n_blocks):
+        t = f"generator.progression.{i}"
+        block: Dict[str, Any] = {}
+        if f"{t}.conv1.input" in sd:  # initial ConstantInput
+            block["input"] = sd[f"{t}.conv1.input"].transpose(0, 2, 3, 1)
+        elif f"{t}.conv1.0.weight" in sd:  # FusedUpsample (+ Blur)
+            w = sd[f"{t}.conv1.0.weight"]  # (in, out, kh, kw)
+            block["conv1_fused"] = {
+                "weight": w.transpose(2, 3, 0, 1),
+                "bias": sd[f"{t}.conv1.0.bias"],
+            }
+        else:  # Upsample -> EqualConv2d -> Blur
+            block["conv1"] = _equal_conv_t2f(f"{t}.conv1.1", sd)
+        for j in (1, 2):
+            block[f"noise{j}"] = {
+                "weight": sd[f"{t}.noise{j}.weight_orig"].transpose(0, 2, 3, 1)
+            }
+            block[f"adain{j}"] = _adain_t2f(f"{t}.adain{j}", sd)
+        block["conv2"] = _equal_conv_t2f(f"{t}.conv2", sd)
+        gen[f"progression_{i}"] = block
+
+    n_rgb = len({k.split(".")[2] for k in sd if k.startswith("generator.to_rgb.")})
+    for i in range(n_rgb):
+        gen[f"to_rgb_{i}"] = _equal_conv_t2f(f"generator.to_rgb.{i}", sd)
+
+    params["generator"] = gen
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
 # reference .pt loading
 # ---------------------------------------------------------------------------
 

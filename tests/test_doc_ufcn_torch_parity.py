@@ -8,10 +8,6 @@ evidence available without GPU hardware: it proves weight-level and
 numeric-level drop-in compatibility for the production segmentation model.
 """
 
-import sys
-import types
-from pathlib import Path
-
 import jax
 import numpy as np
 import pytest
@@ -19,27 +15,13 @@ import pytest
 from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
 from synthesis_in_style_tpu.utils.checkpoint import torch_doc_ufcn_to_flax
 
-REFERENCE = Path("/root/reference/stylegan_code_finder")
-
-
-def _load_reference_doc_ufcn():
-    """Import the reference module without executing the heavy
-    networks/__init__.py (which JIT-builds CUDA extensions)."""
-    if str(REFERENCE) not in sys.path:
-        sys.path.insert(0, str(REFERENCE))
-    if "networks" not in sys.modules:
-        pkg = types.ModuleType("networks")
-        pkg.__path__ = [str(REFERENCE / "networks")]
-        sys.modules["networks"] = pkg
-    from networks.doc_ufcn.doc_ufcn import DocUFCN as TorchDocUFCN
-
-    return TorchDocUFCN
+from reference_loader import REFERENCE, load_reference_module
 
 
 @pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
 def test_doc_ufcn_forward_matches_torch_reference():
     torch = pytest.importorskip("torch")
-    TorchDocUFCN = _load_reference_doc_ufcn()
+    TorchDocUFCN = load_reference_module("networks.doc_ufcn.doc_ufcn").DocUFCN
 
     torch.manual_seed(0)
     num_classes = 4
