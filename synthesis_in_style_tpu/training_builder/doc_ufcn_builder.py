@@ -39,4 +39,7 @@ class DocUFCNTrainBuilder(BaseTrainBuilder):
     def _make_train_step(self, tx):
         class_weights = self.config.get("class_weights")
         weights = jnp.asarray(class_weights) if class_weights is not None else None
-        return make_standard_train_step(self.network, tx, class_weights=weights)
+        return make_standard_train_step(
+            self.network, tx, class_weights=weights,
+            compute_dtype=self.config.get("compute_dtype"),
+        )

@@ -64,7 +64,8 @@ class EMANetTrainBuilder(BaseTrainBuilder):
 
     def _make_train_step(self, tx):
         return make_emanet_train_step(
-            self.network, tx, em_mom=float(self.config.get("em_mom", 0.9))
+            self.network, tx, em_mom=float(self.config.get("em_mom", 0.9)),
+            compute_dtype=self.config.get("compute_dtype"),
         )
 
     def _predict_logits(self, state, images):

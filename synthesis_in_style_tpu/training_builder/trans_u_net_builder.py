@@ -70,5 +70,6 @@ class TransUNetTrainBuilder(BaseTrainBuilder):
 
     def _make_train_step(self, tx):
         return make_transunet_train_step(
-            self.network, tx, num_classes=self.config["num_classes"]
+            self.network, tx, num_classes=self.config["num_classes"],
+            compute_dtype=self.config.get("compute_dtype"),
         )

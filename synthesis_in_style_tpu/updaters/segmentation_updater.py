@@ -62,7 +62,24 @@ def create_seg_train_state(
     )
 
 
-def _apply_train(model, params, batch_stats, images, rng):
+def _cast_floats(tree: Any, dtype) -> Any:
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def _apply_train(model, params, batch_stats, images, rng, compute_dtype=None):
+    """Forward in train mode. With `compute_dtype` (e.g. bfloat16) the params
+    and input are cast for the fwd/bwd MXU work while the caller's master
+    params stay float32; updated batch statistics are cast back to float32 so
+    the running state never degrades (mirrors the GAN updater's mixed
+    precision, stylegan2_updater.py `compute_dtype`)."""
+    if compute_dtype is not None:
+        params = _cast_floats(params, compute_dtype)
+        images = images.astype(compute_dtype)
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
@@ -74,6 +91,9 @@ def _apply_train(model, params, batch_stats, images, rng):
         rngs={"dropout": rng},
     )
     new_batch_stats = new_state.get("batch_stats", batch_stats) if batch_stats else batch_stats
+    if compute_dtype is not None:
+        out = out.astype(jnp.float32)
+        new_batch_stats = _cast_floats(new_batch_stats, jnp.float32)
     return out, new_batch_stats
 
 
@@ -82,15 +102,18 @@ def make_standard_train_step(
     tx: optax.GradientTransformation,
     class_weights: Optional[Array] = None,
     donate: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> Callable:
     """Weighted-CE step (reference StandardUpdater.update_core :19-39)."""
 
     weights = None if class_weights is None else jnp.asarray(class_weights)
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
         def loss_fn(params):
             logits, new_bs = _apply_train(
-                model, params, state.batch_stats, batch["images"], rng
+                model, params, state.batch_stats, batch["images"], rng,
+                compute_dtype=cdt,
             )
             loss = cross_entropy_loss(logits, batch["segmented"], weights)
             return loss, new_bs
@@ -116,13 +139,17 @@ def make_transunet_train_step(
     tx: optax.GradientTransformation,
     num_classes: int,
     donate: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> Callable:
     """0.5*CE + 0.5*Dice step (reference TransUNetUpdater :76-106)."""
+
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
         def loss_fn(params):
             logits, new_bs = _apply_train(
-                model, params, state.batch_stats, batch["images"], rng
+                model, params, state.batch_stats, batch["images"], rng,
+                compute_dtype=cdt,
             )
             labels = batch["segmented"]
             loss_ce = cross_entropy_loss(logits, labels)
@@ -151,19 +178,26 @@ def make_emanet_train_step(
     tx: optax.GradientTransformation,
     em_mom: float = 0.9,
     donate: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> Callable:
     """CE + EMAU µ moving-average step (reference EMANetUpdater :42-73).
     `state.extra` holds µ of shape (1, C, K); the model returns
     (logits, mu_batch) when given mu and train=True."""
 
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
         def loss_fn(params):
+            images = batch["images"]
+            if cdt is not None:
+                params = _cast_floats(params, cdt)
+                images = images.astype(cdt)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             (logits, mu_batch), new_state = model.apply(
                 variables,
-                batch["images"],
+                images,
                 state.extra,
                 train=True,
                 mutable=["batch_stats"] if state.batch_stats else [],
@@ -174,6 +208,10 @@ def make_emanet_train_step(
                 if state.batch_stats
                 else state.batch_stats
             )
+            if cdt is not None:
+                logits = logits.astype(jnp.float32)
+                mu_batch = mu_batch.astype(jnp.float32)
+                new_bs = _cast_floats(new_bs, jnp.float32)
             loss = cross_entropy_loss(logits, batch["segmented"])
             return loss, (new_bs, mu_batch)
 

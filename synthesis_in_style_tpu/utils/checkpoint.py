@@ -422,6 +422,188 @@ def torch_stylegan1_generator_to_flax(
 
 
 # ---------------------------------------------------------------------------
+# torch -> flax EMANet conversion
+# ---------------------------------------------------------------------------
+
+def _set_path(tree: Dict[str, Any], path: str, value: Any) -> None:
+    parts = path.split("/")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def torch_emanet_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference EMANet state_dict (ema_net/network.py:267-311; extractor is
+    a Sequential of [deep-stem Sequential, bn1, relu, maxpool, layer1..4]) ->
+    {"params", "batch_stats", "mu"} for models.ema_net.EMANet.
+
+    Works for both plain-BatchNorm2d and the vendored SynchronizedBatchNorm2d
+    checkpoints (identical state_dict keys)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(torch_prefix: str, flax_path: str, bias: bool = False) -> None:
+        p: Dict[str, Any] = {
+            "kernel": sd[f"{torch_prefix}.weight"].transpose(2, 3, 1, 0)
+        }
+        if bias:
+            p["bias"] = sd[f"{torch_prefix}.bias"]
+        _set_path(params, flax_path, p)
+
+    def bn(torch_prefix: str, flax_path: str) -> None:
+        _set_path(
+            params,
+            flax_path,
+            {
+                "scale": sd[f"{torch_prefix}.weight"],
+                "bias": sd[f"{torch_prefix}.bias"],
+            },
+        )
+        _set_path(
+            stats,
+            flax_path,
+            {
+                "mean": sd[f"{torch_prefix}.running_mean"],
+                "var": sd[f"{torch_prefix}.running_var"],
+            },
+        )
+
+    # deep stem (torch: extractor.0 = Sequential(conv,bn,relu,conv,bn,relu,conv))
+    conv("extractor.0.0", "extractor/stem_conv1")
+    bn("extractor.0.1", "extractor/stem_bn1")
+    conv("extractor.0.3", "extractor/stem_conv2")
+    bn("extractor.0.4", "extractor/stem_bn2")
+    conv("extractor.0.6", "extractor/stem_conv3")
+    bn("extractor.1", "extractor/bn1")
+
+    for li, torch_idx in enumerate((4, 5, 6, 7), start=1):
+        n_blocks = len(
+            {
+                k.split(".")[2]
+                for k in sd
+                if k.startswith(f"extractor.{torch_idx}.")
+            }
+        )
+        for i in range(n_blocks):
+            t = f"extractor.{torch_idx}.{i}"
+            f = f"extractor/layer{li}/block_{i}"
+            for j in (1, 2, 3):
+                conv(f"{t}.conv{j}", f"{f}/conv{j}")
+                bn(f"{t}.bn{j}", f"{f}/bn{j}")
+            if f"{t}.downsample.0.weight" in sd:
+                conv(f"{t}.downsample.0", f"{f}/downsample_conv")
+                bn(f"{t}.downsample.1", f"{f}/downsample_bn")
+
+    conv("fc0.conv", "fc0_conv")
+    bn("fc0.bn", "fc0_bn")
+    conv("emau.conv1", "emau/conv1", bias=True)
+    conv("emau.conv2.0", "emau/conv2_conv")
+    bn("emau.conv2.1", "emau/conv2_bn")
+    conv("fc1.0.conv", "fc1_conv")
+    bn("fc1.0.bn", "fc1_bn")
+    conv("fc2", "fc2", bias=True)
+
+    return {"params": params, "batch_stats": stats, "mu": sd["emau.mu"]}
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax TransUNet conversion
+# ---------------------------------------------------------------------------
+
+def torch_transunet_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference TransUNet VisionTransformer state_dict
+    (trans_u_net/vit_seg_modeling.py:376-455 + vit_seg_modeling_resnet_skip.py)
+    -> {"params", "batch_stats"} for models.trans_u_net.VisionTransformer."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(t: str, f: str, bias: bool = False) -> None:
+        p: Dict[str, Any] = {"kernel": sd[f"{t}.weight"].transpose(2, 3, 1, 0)}
+        if bias:
+            p["bias"] = sd[f"{t}.bias"]
+        _set_path(params, f, p)
+
+    def affine(t: str, f: str) -> None:  # GroupNorm / LayerNorm
+        _set_path(
+            params, f, {"scale": sd[f"{t}.weight"], "bias": sd[f"{t}.bias"]}
+        )
+
+    def lin(t: str, f: str) -> None:
+        _set_path(
+            params,
+            f,
+            {"kernel": sd[f"{t}.weight"].T, "bias": sd[f"{t}.bias"]},
+        )
+
+    def conv_bn_relu(t: str, f: str) -> None:  # torch Sequential(conv, bn, relu)
+        conv(f"{t}.0", f"{f}/conv")
+        _set_path(
+            params,
+            f"{f}/bn",
+            {"scale": sd[f"{t}.1.weight"], "bias": sd[f"{t}.1.bias"]},
+        )
+        _set_path(
+            stats,
+            f"{f}/bn",
+            {
+                "mean": sd[f"{t}.1.running_mean"],
+                "var": sd[f"{t}.1.running_var"],
+            },
+        )
+
+    emb = "transformer.embeddings"
+    if f"{emb}.hybrid_model.root.conv.weight" in sd:
+        conv(f"{emb}.hybrid_model.root.conv", "hybrid_model/root_conv")
+        affine(f"{emb}.hybrid_model.root.gn", "hybrid_model/root_gn")
+        units = sorted(
+            {
+                tuple(k.split(".")[4:6])
+                for k in sd
+                if k.startswith(f"{emb}.hybrid_model.body.")
+            }
+        )
+        for block, unit in units:
+            t = f"{emb}.hybrid_model.body.{block}.{unit}"
+            f = f"hybrid_model/{block}_{unit}"
+            for j in (1, 2, 3):
+                conv(f"{t}.conv{j}", f"{f}/conv{j}")
+                affine(f"{t}.gn{j}", f"{f}/gn{j}")
+            if f"{t}.downsample.weight" in sd:
+                conv(f"{t}.downsample", f"{f}/downsample")
+                affine(f"{t}.gn_proj", f"{f}/gn_proj")
+
+    conv(f"{emb}.patch_embeddings", "patch_embeddings", bias=True)
+    params["position_embeddings"] = sd[f"{emb}.position_embeddings"]
+
+    n_layers = len(
+        {k.split(".")[3] for k in sd if k.startswith("transformer.encoder.layer.")}
+    )
+    for i in range(n_layers):
+        t = f"transformer.encoder.layer.{i}"
+        f = f"encoderblock_{i}"
+        affine(f"{t}.attention_norm", f"{f}/attention_norm")
+        affine(f"{t}.ffn_norm", f"{f}/ffn_norm")
+        for name in ("query", "key", "value", "out"):
+            lin(f"{t}.attn.{name}", f"{f}/attn/{name}")
+        lin(f"{t}.ffn.fc1", f"{f}/ffn/fc1")
+        lin(f"{t}.ffn.fc2", f"{f}/ffn/fc2")
+    affine("transformer.encoder.encoder_norm", "encoder_norm")
+
+    conv_bn_relu("decoder.conv_more", "conv_more")
+    n_blocks = len(
+        {k.split(".")[2] for k in sd if k.startswith("decoder.blocks.")}
+    )
+    for i in range(n_blocks):
+        conv_bn_relu(f"decoder.blocks.{i}.conv1", f"decoder_block_{i}/conv1")
+        conv_bn_relu(f"decoder.blocks.{i}.conv2", f"decoder_block_{i}/conv2")
+
+    conv("segmentation_head.0", "segmentation_head", bias=True)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # reference .pt loading
 # ---------------------------------------------------------------------------
 

@@ -17,20 +17,119 @@ pytestmark = pytest.mark.skipif(
 
 def _randomize_bn(torch, module, seed: int = 1):
     """Randomize BN affine params + running stats so eval-mode normalization
-    is actually exercised (fresh init is the identity transform)."""
+    is actually exercised (fresh init is the identity transform). Duck-typed
+    so it also covers the reference's vendored SynchronizedBatchNorm2d."""
     gen = torch.Generator().manual_seed(seed)
-    bn_types = tuple(
-        t for t in (getattr(torch.nn, "BatchNorm1d", None),
-                    getattr(torch.nn, "BatchNorm2d", None))
-        if t is not None
-    )
     with torch.no_grad():
         for m in module.modules():
-            if isinstance(m, bn_types):
+            if hasattr(m, "running_mean") and hasattr(m, "weight") and m.weight is not None:
                 m.weight.copy_(1.0 + 0.2 * torch.randn(m.weight.shape, generator=gen))
                 m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=gen))
                 m.running_mean.copy_(0.3 * torch.randn(m.running_mean.shape, generator=gen))
                 m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+
+
+def test_emanet_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    ref_mod = load_reference_module("networks.ema_net.network")
+
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.models.ema_net import EMANet
+    from synthesis_in_style_tpu.utils.checkpoint import torch_emanet_to_flax
+
+    torch.manual_seed(0)
+    ref = ref_mod.EMANet(
+        num_classes=3, n_layers=50, stride=8, use_pretrained_resnet=False
+    )
+    _randomize_bn(torch, ref)
+    ref.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 48, 48, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = (
+            ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+
+    converted = torch_emanet_to_flax(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    ours_model = EMANet(num_classes=3, n_layers=50, stride=8)
+    ours = np.asarray(
+        ours_model.apply(
+            {
+                "params": converted["params"],
+                "batch_stats": converted["batch_stats"],
+            },
+            jnp.asarray(x),
+            jnp.asarray(converted["mu"]),
+            train=False,
+        )
+    )
+    assert ours.shape == theirs.shape == (1, 48, 48, 3)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_transunet_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    ref_mod = load_reference_module("networks.trans_u_net.vit_seg_modeling")
+
+    import copy
+
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.models.trans_u_net import (
+        VIT_CONFIGS,
+        VisionTransformer,
+    )
+    from synthesis_in_style_tpu.utils.checkpoint import torch_transunet_to_flax
+
+    img_size, n_classes = 64, 3
+    ref_cfg = copy.deepcopy(ref_mod.VIT_CONFIGS["R50-ViT-B_16"])
+    ref_cfg.n_classes = n_classes
+    ref_cfg.n_skip = 3
+    ref_cfg.patches.grid = (img_size // 16, img_size // 16)
+
+    torch.manual_seed(0)
+    ref = ref_mod.VisionTransformer(ref_cfg, img_size=img_size,
+                                    num_classes=n_classes)
+    _randomize_bn(torch, ref)
+    ref.eval()
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = (
+            ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+
+    converted = torch_transunet_to_flax(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    our_cfg = VIT_CONFIGS["R50-ViT-B_16"]()
+    our_cfg["n_classes"] = n_classes
+    our_cfg["n_skip"] = 3
+    our_cfg["patches"]["grid"] = (img_size // 16, img_size // 16)
+    ours_model = VisionTransformer(
+        config=our_cfg, img_size=img_size, num_classes=n_classes
+    )
+    ours = np.asarray(
+        ours_model.apply(
+            {
+                "params": converted["params"],
+                "batch_stats": converted["batch_stats"],
+            },
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    assert ours.shape == theirs.shape == (1, img_size, img_size, n_classes)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
 
 
 def test_stylegan1_generator_matches_torch_reference():

@@ -237,3 +237,35 @@ def test_transunet_style_loss_combination():
         0.5 * float(metrics["CE"]) + 0.5 * float(metrics["Dice"]),
         rtol=1e-5,
     )
+
+
+def test_standard_train_step_bf16_compute_keeps_f32_masters():
+    """Mixed precision: bf16 fwd/bwd, float32 master params and batch stats
+    (the seg-train analogue of the GAN updater's compute_dtype)."""
+    model = DocUFCN(num_classes=2, encoder_dropout=0.0, decoder_dropout=0.0)
+    tx = optax.adam(1e-3)
+    state = create_seg_train_state(model, jax.random.PRNGKey(0), 16, tx)
+    step = make_standard_train_step(
+        model, tx, donate=False, compute_dtype="bfloat16"
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32)),
+        "segmented": jnp.asarray(
+            (rng.uniform(size=(4, 16, 16)) > 0.5).astype(np.int32)
+        ),
+    }
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["softmax"]))
+    assert losses[-1] < losses[0]
+
+    dtypes = {
+        a.dtype
+        for a in jax.tree_util.tree_leaves((state.params, state.batch_stats))
+    }
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
