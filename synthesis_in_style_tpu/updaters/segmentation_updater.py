@@ -29,6 +29,7 @@ import optax
 
 from synthesis_in_style_tpu.core.updater import Updater
 from synthesis_in_style_tpu.losses.segmentation import cross_entropy_loss, dice_loss
+from synthesis_in_style_tpu.utils.precision import cast_floating
 
 Array = jax.Array
 
@@ -62,23 +63,19 @@ def create_seg_train_state(
     )
 
 
-def _cast_floats(tree: Any, dtype) -> Any:
-    return jax.tree_util.tree_map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        tree,
-    )
-
-
-def _apply_train(model, params, batch_stats, images, rng, compute_dtype=None):
+def _apply_train(
+    model, params, batch_stats, images, rng, compute_dtype=None,
+    extra_inputs=(),
+):
     """Forward in train mode. With `compute_dtype` (e.g. bfloat16) the params
     and input are cast for the fwd/bwd MXU work while the caller's master
-    params stay float32; updated batch statistics are cast back to float32 so
-    the running state never degrades (mirrors the GAN updater's mixed
-    precision, stylegan2_updater.py `compute_dtype`)."""
+    params stay float32; the output pytree and updated batch statistics are
+    cast back to float32 so losses and running state never degrade (mirrors
+    the GAN updater's mixed precision, stylegan2_updater.py `compute_dtype`).
+    `extra_inputs` are positional model inputs after the image batch (e.g.
+    EMANet's µ bases) and are passed through uncast."""
     if compute_dtype is not None:
-        params = _cast_floats(params, compute_dtype)
+        params = cast_floating(params, compute_dtype)
         images = images.astype(compute_dtype)
     variables = {"params": params}
     if batch_stats:
@@ -86,14 +83,15 @@ def _apply_train(model, params, batch_stats, images, rng, compute_dtype=None):
     out, new_state = model.apply(
         variables,
         images,
+        *extra_inputs,
         train=True,
         mutable=["batch_stats"] if batch_stats else [],
         rngs={"dropout": rng},
     )
     new_batch_stats = new_state.get("batch_stats", batch_stats) if batch_stats else batch_stats
     if compute_dtype is not None:
-        out = out.astype(jnp.float32)
-        new_batch_stats = _cast_floats(new_batch_stats, jnp.float32)
+        out = cast_floating(out, jnp.float32)
+        new_batch_stats = cast_floating(new_batch_stats, jnp.float32)
     return out, new_batch_stats
 
 
@@ -188,30 +186,10 @@ def make_emanet_train_step(
 
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
         def loss_fn(params):
-            images = batch["images"]
-            if cdt is not None:
-                params = _cast_floats(params, cdt)
-                images = images.astype(cdt)
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            (logits, mu_batch), new_state = model.apply(
-                variables,
-                images,
-                state.extra,
-                train=True,
-                mutable=["batch_stats"] if state.batch_stats else [],
-                rngs={"dropout": rng},
+            (logits, mu_batch), new_bs = _apply_train(
+                model, params, state.batch_stats, batch["images"], rng,
+                compute_dtype=cdt, extra_inputs=(state.extra,),
             )
-            new_bs = (
-                new_state.get("batch_stats", state.batch_stats)
-                if state.batch_stats
-                else state.batch_stats
-            )
-            if cdt is not None:
-                logits = logits.astype(jnp.float32)
-                mu_batch = mu_batch.astype(jnp.float32)
-                new_bs = _cast_floats(new_bs, jnp.float32)
             loss = cross_entropy_loss(logits, batch["segmented"])
             return loss, (new_bs, mu_batch)
 

@@ -31,6 +31,7 @@ import optax
 
 from synthesis_in_style_tpu.core.updater import Updater
 from synthesis_in_style_tpu.losses.gan import d_logistic_loss, g_nonsaturating_loss
+from synthesis_in_style_tpu.utils.precision import cast_floating
 
 
 @flax.struct.dataclass
@@ -125,15 +126,11 @@ def make_train_steps(
     )
 
     def _cast(tree):
-        """f32 leaves -> compute dtype (grad flows back to f32 masters)."""
+        """floating leaves -> compute dtype (grad flows back to f32 masters);
+        shared predicate with the segmentation steps (utils/precision.py)."""
         if compute_dtype is None:
             return tree
-        return jax.tree_util.tree_map(
-            lambda a: a.astype(compute_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32
-            else a,
-            tree,
-        )
+        return cast_floating(tree, compute_dtype)
 
     def _fake_images(g_params, g_noises, rng, batch):
         kz1, kz2, kmix, knoise = jax.random.split(rng, 4)

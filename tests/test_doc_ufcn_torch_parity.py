@@ -15,7 +15,7 @@ import pytest
 from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
 from synthesis_in_style_tpu.utils.checkpoint import torch_doc_ufcn_to_flax
 
-from reference_loader import REFERENCE, load_reference_module
+from reference_loader import REFERENCE, load_reference_module, randomize_bn
 
 
 @pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
@@ -26,17 +26,7 @@ def test_doc_ufcn_forward_matches_torch_reference():
     torch.manual_seed(0)
     num_classes = 4
     ref = TorchDocUFCN(num_classes=num_classes)
-
-    # randomize BN affine params and running stats so eval-mode normalization
-    # is actually exercised (fresh init is the identity transform)
-    gen = torch.Generator().manual_seed(1)
-    with torch.no_grad():
-        for m in ref.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.weight.copy_(1.0 + 0.2 * torch.randn(m.weight.shape, generator=gen))
-                m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=gen))
-                m.running_mean.copy_(0.3 * torch.randn(m.running_mean.shape, generator=gen))
-                m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+    randomize_bn(torch, ref)
     ref.eval()
 
     rng = np.random.default_rng(2)

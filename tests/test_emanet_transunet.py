@@ -230,3 +230,60 @@ def test_transunet_npz_loading_roundtrip():
     }
     logits = model.apply(new_variables, x, train=False)
     assert logits.shape == (1, 32, 32, 2)
+
+
+def test_emanet_train_step_bf16_keeps_f32_masters(emanet_setup):
+    from synthesis_in_style_tpu.updaters.segmentation_updater import (
+        create_seg_train_state,
+        make_emanet_train_step,
+    )
+
+    model, _, mu = emanet_setup
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = create_seg_train_state(
+        model, jax.random.PRNGKey(0), 32, tx, extra=mu
+    )
+    step = make_emanet_train_step(
+        model, tx, em_mom=0.9, donate=False, compute_dtype="bfloat16"
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "segmented": jnp.asarray(rng.integers(0, 3, (2, 32, 32)).astype(np.int32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["softmax"]))
+    dtypes = {
+        a.dtype
+        for a in jax.tree_util.tree_leaves(
+            (state.params, state.batch_stats, state.extra)
+        )
+    }
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
+
+
+def test_transunet_train_step_bf16_keeps_f32_masters():
+    from synthesis_in_style_tpu.updaters.segmentation_updater import (
+        create_seg_train_state,
+        make_transunet_train_step,
+    )
+
+    config = VIT_CONFIGS["testing"]()
+    model = VisionTransformer(config=config, img_size=32, num_classes=2)
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = create_seg_train_state(model, jax.random.PRNGKey(0), 32, tx)
+    step = make_transunet_train_step(
+        model, tx, num_classes=2, donate=False, compute_dtype="bfloat16"
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "segmented": jnp.asarray(rng.integers(0, 2, (2, 32, 32)).astype(np.int32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    dtypes = {
+        a.dtype
+        for a in jax.tree_util.tree_leaves((state.params, state.batch_stats))
+    }
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes

@@ -8,25 +8,15 @@ parity. Complements test_doc_ufcn_torch_parity.py.
 import numpy as np
 import pytest
 
-from reference_loader import REFERENCE, load_reference_module
+from reference_loader import (
+    REFERENCE,
+    load_reference_module,
+    randomize_bn as _randomize_bn,
+)
 
 pytestmark = pytest.mark.skipif(
     not REFERENCE.exists(), reason="reference repo not mounted"
 )
-
-
-def _randomize_bn(torch, module, seed: int = 1):
-    """Randomize BN affine params + running stats so eval-mode normalization
-    is actually exercised (fresh init is the identity transform). Duck-typed
-    so it also covers the reference's vendored SynchronizedBatchNorm2d."""
-    gen = torch.Generator().manual_seed(seed)
-    with torch.no_grad():
-        for m in module.modules():
-            if hasattr(m, "running_mean") and hasattr(m, "weight") and m.weight is not None:
-                m.weight.copy_(1.0 + 0.2 * torch.randn(m.weight.shape, generator=gen))
-                m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=gen))
-                m.running_mean.copy_(0.3 * torch.randn(m.running_mean.shape, generator=gen))
-                m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
 
 
 def test_emanet_matches_torch_reference():
