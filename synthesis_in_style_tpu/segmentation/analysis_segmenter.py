@@ -234,7 +234,9 @@ class AnalysisSegmenter:
                     channels = jnp.stack(
                         [probs[..., c] for c in class_ids], axis=0
                     ).reshape(len(class_ids) * b, h, w)
-                    mask = channels > (0.5 / 255.0)
+                    # host path truncates via (p*255).astype(uint8), so a
+                    # pixel is foreground iff p*255 >= 1 — match exactly
+                    mask = (channels * 255.0) >= 1.0
                     closed = binary_closing(mask, 5)
                     big = filter_small_components(closed, min_contour_area)
                     small = jnp.logical_and(closed, jnp.logical_not(big))
@@ -283,7 +285,15 @@ class AnalysisSegmenter:
 
     def predict_patches(self, patches: Iterator[dict]) -> List[dict]:
         """(reference :130-142); runs the jitted forward per batch, pads the
-        final partial batch to keep ONE compiled shape."""
+        final partial batch to keep ONE compiled shape. `print_progress`
+        wraps the batch loop in a progress bar (reference wraps with tqdm)."""
+        if self.print_progress:
+            try:
+                from tqdm import tqdm
+
+                patches = tqdm(patches, desc="predicting patches", leave=False)
+            except ImportError:
+                pass
         predict = self._get_predict_fn()
         predicted = []
         for batch in patches:

@@ -82,7 +82,11 @@ def _contour_bounds(contour: Contour) -> Tuple[int, int, int, int]:
 
 
 def _bboxes_overlap(a, b) -> bool:
-    return a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]
+    """Strict comparisons, matching reference BBox.is_overlapping_with
+    (utils/segmentation_utils.py:52-56): boxes that merely touch at their
+    extreme row/column do NOT overlap, so such contour pairs are never
+    merged — behavioral parity over geometric intuition."""
+    return a[0] < b[2] and a[2] > b[0] and a[1] < b[3] and a[3] > b[1]
 
 
 def _rasterize(contours: Sequence[Contour], bounds=None) -> List[np.ndarray]:

@@ -145,12 +145,13 @@ class DatasetGANSegmenter(BaseDatasetSegmenter):
         return self._predict(scaled_activations)
 
     def label_images_to_color_images(self, label_images) -> np.ndarray:
-        """(B, H, W) -> (B, H, W, 3) uint8 (reference :44-53)."""
+        """(B, H, W) -> (B, H, W, 3) uint8 (reference :44-53): the
+        background class id keeps the background color regardless of its
+        position in class_to_color_map; every other class paints its own."""
         labels = np.asarray(label_images)
         lut = np.zeros((len(self.class_to_color_map), 3), np.uint8)
         for class_id, (name, color) in enumerate(self.class_to_color_map.items()):
             lut[class_id] = color
-        lut[0] = self.class_to_color_map["background"]
         return lut[labels]
 
     def create_segmentation_image(

@@ -22,13 +22,7 @@ from synthesis_in_style_tpu.segmentation.kmeans import (
     MiniBatchSphericalKMeans,
     assign_euclidean,
 )
-
-
-def partial_flat(x) -> jnp.ndarray:
-    """(N, H, W, C) -> (N*H*W, C). NHWC-native (reference ptutils.partial_flat
-    permutes from NCHW, ptutils.py:25-28 — we are already channel-last)."""
-    x = jnp.asarray(x)
-    return x.reshape(-1, x.shape[-1])
+from synthesis_in_style_tpu.segmentation.ptutils import partial_flat
 
 
 class FactorCatalog:
@@ -43,7 +37,7 @@ class FactorCatalog:
 
     def fit_predict(self, x) -> jnp.ndarray:
         """Fit on (N,H,W,C) activations; return (N,H,W) integer labels."""
-        flat = partial_flat(x)
+        flat, _ = partial_flat(x)
         self._kmeans.fit(flat)
         labels = assign_euclidean(flat, jnp.asarray(self._kmeans.cluster_centers_))
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
@@ -53,7 +47,7 @@ class FactorCatalog:
         """(N,H,W,C) -> (N,H,W) labels by euclidean argmin (reference
         factor_catalog.py:69-75)."""
         assert self.cluster_centers is not None, "fit or load first"
-        flat = partial_flat(x)
+        flat, _ = partial_flat(x)
         labels = assign_euclidean(flat, jnp.asarray(self.cluster_centers))
         return labels.reshape(x.shape[0], x.shape[1], x.shape[2])
 
@@ -69,6 +63,8 @@ def save_catalogs(
     for layer_id, catalog in catalogs.items():
         assert catalog.cluster_centers is not None
         arrays[f"centers_{layer_id}"] = catalog.cluster_centers
+        if catalog._kmeans._counts is not None:
+            arrays[f"counts_{layer_id}"] = catalog._kmeans._counts
         annotations[layer_id] = catalog.annotations
     np.savez(path, **arrays)
     with open(path.with_suffix(".annotations.json"), "w") as f:
@@ -82,11 +78,14 @@ def load_catalogs(path: Union[str, Path]) -> Dict[str, FactorCatalog]:
     annotations = json.loads(ann_path.read_text()) if ann_path.exists() else {}
     catalogs = {}
     for name in data.files:
-        assert name.startswith("centers_")
+        if not name.startswith("centers_"):
+            continue
         layer_id = name[len("centers_") :]
         centers = data[name]
         catalog = FactorCatalog(k=centers.shape[0])
         catalog._kmeans.cluster_centers_ = centers
+        if f"counts_{layer_id}" in data.files:
+            catalog._kmeans._counts = data[f"counts_{layer_id}"]
         catalog.annotations = annotations.get(layer_id, {})
         catalogs[layer_id] = catalog
     return catalogs

@@ -83,12 +83,16 @@ class MiniBatchSphericalKMeans:
         counts = jnp.zeros((self.n_clusters,), x.dtype)
 
         bs = min(self.batch_size, n)
-        steps_per_epoch = max(1, n // bs)
+        # ceil so the permutation tail is never dropped; the last batch wraps
+        # to the head of the SAME permutation to keep the batch shape static
+        # (a handful of head samples count twice in that epoch)
+        steps_per_epoch = -(-n // bs)
         for epoch in range(self.n_epochs):
             key, k_perm = jax.random.split(key)
             perm = jax.random.permutation(k_perm, n)
             for s in range(steps_per_epoch):
-                batch = x[perm[s * bs : (s + 1) * bs]]
+                idx = jnp.arange(s * bs, (s + 1) * bs) % n
+                batch = x[perm[idx]]
                 centers, counts = _minibatch_step(centers, counts, batch)
         self.cluster_centers_ = np.asarray(centers)
         self._counts = np.asarray(counts)
@@ -101,6 +105,10 @@ class MiniBatchSphericalKMeans:
             self.cluster_centers_ = np.asarray(
                 _init_centers(batch, key, self.n_clusters)
             )
+            self._counts = np.zeros((self.n_clusters,), np.float32)
+        if self._counts is None:
+            # centers restored from disk without counts (legacy catalogs):
+            # resume with zero counts = full learning rate on the next batch
             self._counts = np.zeros((self.n_clusters,), np.float32)
         centers, counts = _minibatch_step(
             jnp.asarray(self.cluster_centers_), jnp.asarray(self._counts), batch

@@ -88,9 +88,12 @@ def make_adversarial_steps(
         return fake, g_batch_stats
 
     def d_step(state: AdversarialTrainState, binary, style, rng):
-        fake, _ = gen_forward(
+        # generator stays in TRAIN mode during the D update (the reference
+        # never switches the module to eval, adversarial_updater.py
+        # update_discriminator) — its BN running stats advance here too
+        fake, new_g_bs = gen_forward(
             state.g_params, state.g_batch_stats, state.g_noises,
-            binary, style, rng, False,
+            binary, style, rng, True,
         )
         fake = jax.lax.stop_gradient(fake)
 
@@ -108,7 +111,9 @@ def make_adversarial_steps(
         )(state.d_params)
         updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
-        return state.replace(d_params=d_params, d_opt=d_opt), {
+        return state.replace(
+            d_params=d_params, d_opt=d_opt, g_batch_stats=new_g_bs
+        ), {
             "loss": loss, "real_score": real_score, "fake_score": fake_score,
         }
 

@@ -168,9 +168,12 @@ def make_autoencoder_gan_steps(
     autoencoder_discriminator_updater.py:12-121)."""
 
     def d_step(state: AETrainState, batch, rng):
-        recon, _ = _apply_ae(
+        # autoencoder stays in TRAIN mode during the D update (the reference
+        # never flips the module to eval, autoencoder_discriminator_updater.py
+        # update_discriminator) — BN running stats advance here too
+        recon, new_bs = _apply_ae(
             autoencoder, state.params, state.batch_stats, state.noises,
-            batch["input_image"], rng, train=False,
+            batch["input_image"], rng, train=True,
         )
         recon = jax.lax.stop_gradient(recon)
 
@@ -187,7 +190,9 @@ def make_autoencoder_gan_steps(
         )(state.d_params)
         updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
-        return state.replace(d_params=d_params, d_opt=d_opt), {
+        return state.replace(
+            d_params=d_params, d_opt=d_opt, batch_stats=new_bs
+        ), {
             "loss": loss, "real_score": real_score, "fake_score": fake_score,
         }
 

@@ -141,7 +141,11 @@ def test_full_synthesis_pipeline(tmp_path):
 
     # --- stage 2: "human" labelling — map every cluster of every layer
     catalogs = np.load(sem_dir / "catalogs" / "3.npz")
-    layer_ids = [name[len("centers_"):] for name in catalogs.files]
+    layer_ids = [
+        name[len("centers_"):]
+        for name in catalogs.files
+        if name.startswith("centers_")
+    ]
     label_names = ["background", "printed_text", "handwritten_text"]
     label_map = {
         layer: {str(i): label_names[i % 3] for i in range(3)}
