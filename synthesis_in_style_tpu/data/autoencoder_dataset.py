@@ -8,6 +8,7 @@ the reference's DENOISING_VARIANCES list)."""
 
 from __future__ import annotations
 
+import threading
 from typing import Dict
 
 import numpy as np
@@ -28,7 +29,20 @@ class AutoencoderDataset(JSONDataset):
         super().__init__(*args, **kwargs)
         self.image_size = image_size
         self.num_channels = num_channels
-        self._rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe and the DataLoader fetches
+        # samples on a thread pool — give each worker thread its own stream
+        self._seed = seed
+        self._local = threading.local()
+
+    @property
+    def _rng(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            rng = np.random.default_rng(
+                (self._seed, threading.get_ident())
+            )
+            self._local.rng = rng
+        return rng
 
     def augment_image(self, image: Image.Image) -> Image.Image:
         return image

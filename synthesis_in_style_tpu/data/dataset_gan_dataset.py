@@ -26,6 +26,7 @@ The reference's 14 hardcoded per-layer torch Upsample modules
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Union
 
@@ -69,7 +70,9 @@ class BaseDatasetGANDataset:
         self.random_sampling = random_sampling
         self.loader = loader
         self.seed = seed
-        self._rng = np.random.default_rng(seed)
+        # thread-local streams: the DataLoader fetches samples on a thread
+        # pool and numpy Generators are not thread-safe
+        self._local = threading.local()
 
         if isinstance(class_probabilities, float):
             self.class_probabilities = [class_probabilities, 1 - class_probabilities]
@@ -83,6 +86,14 @@ class BaseDatasetGANDataset:
         self.pixel_activations: Optional[np.ndarray] = None  # (N, S, S, F)
         self.pixel_labels: Optional[np.ndarray] = None  # (N, S, S)
         self.feature_vector_length = -1
+
+    @property
+    def _rng(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            rng = np.random.default_rng((self.seed, threading.get_ident()))
+            self._local.rng = rng
+        return rng
 
     # ---------------- loading ----------------
 

@@ -70,11 +70,18 @@ class DataLoader:
             order = np.random.default_rng((self.seed, epoch)).permutation(n)
         else:
             order = np.arange(n)
-        # contiguous per-shard split (replaces DistributedSampler)
+        # pad with wrapped samples so every shard sees the SAME number of
+        # samples — torch DistributedSampler does exactly this so multi-host
+        # step counts stay in lock-step (an unequal split would deadlock any
+        # per-step cross-host collective on the shard with more batches)
+        per_shard = -(-n // self.num_shards)
+        total = per_shard * self.num_shards
+        if total > n:
+            order = np.concatenate([order, order[: total - n]])
         return order[self.shard_id :: self.num_shards]
 
     def __len__(self) -> int:
-        per_shard = len(self.dataset) // self.num_shards
+        per_shard = -(-len(self.dataset) // self.num_shards)
         if self.drop_last:
             return per_shard // self.batch_size
         return (per_shard + self.batch_size - 1) // self.batch_size

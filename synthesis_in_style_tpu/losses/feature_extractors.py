@@ -51,12 +51,19 @@ ALEXNET_TORCH_CONV_IDS = [0, 3, 6, 8, 10]
 
 class VGG16Features(nn.Module):
     """VGG16 conv trunk; `__call__` returns the post-ReLU feature maps of
-    every conv layer (callers pick their taps)."""
+    every conv layer (callers pick their taps).
+
+    `max_conv` stops the trunk after that conv index — the perceptual/style
+    losses only read through conv3_3 (index 6), so cutting the conv4_x/5_x
+    stages (most of VGG16's FLOPs) halves their backbone cost. Extra
+    pretrained params for the dropped layers are ignored by flax."""
+
+    max_conv: int = len(VGG16_CHANNELS) - 1
 
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
         feats = []
-        for i, features in enumerate(VGG16_CHANNELS):
+        for i, features in enumerate(VGG16_CHANNELS[: self.max_conv + 1]):
             x = nn.Conv(
                 features, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv_{i}"
             )(x)

@@ -87,7 +87,9 @@ class PerceptualAndStyleLoss:
         use_style_loss: bool = True,
         seed: int = 0,
     ):
-        self.vgg = VGG16Features()
+        # the deepest tap is conv3_3 (index 6) — truncate the trunk there so
+        # the conv4_x/5_x stages (most of VGG16's FLOPs) are never computed
+        self.vgg = VGG16Features(max_conv=max(VGG16_STYLE_TAPS.values()))
         self.variables = variables or init_extractor(self.vgg, seed=seed)
         self.perceptual_taps: Dict[str, int] = (
             dict(VGG16_STYLE_TAPS) if use_perceptual_loss else {}

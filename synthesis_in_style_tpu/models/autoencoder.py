@@ -52,12 +52,16 @@ class StyleganAutoencoder(nn.Module):
         return self.encoder(x, train=train)
 
     def decode(self, latents: Latents) -> Array:
+        # Without predicted noise, draw FRESH random noise every forward
+        # (reference forward sets latent_codes.noise = decoder.make_noise(),
+        # i.e. new torch.randn maps per call, autoencoder.py:34-38) — NOT the
+        # generator's fixed noise buffers.
         noise = list(latents.noise) if latents.noise is not None else None
         image, _ = self.decoder(
             [latents.latent],
             input_is_latent=is_wplus(latents),
             noise=noise,
-            randomize_noise=False,
+            randomize_noise=noise is None,
         )
         return image
 
@@ -157,11 +161,19 @@ class SuperResolutionStyleganAutoencoder(nn.Module):
 
     def __call__(self, x: Array, train: bool = False) -> Array:
         enc_size = self.encoder.image_size
-        x_small = jax.lax.stop_gradient(
-            jax.image.resize(
-                x, (x.shape[0], enc_size, enc_size, x.shape[-1]), method="linear"
+        # area (box-average) downsampling, matching the reference's
+        # F.interpolate(mode='area') (autoencoder.py:95-134): for the integer
+        # factors used here this is exact mean pooling; bilinear would only
+        # mix a 2x2 neighborhood and alias
+        if x.shape[1] % enc_size == 0:
+            f = x.shape[1] // enc_size
+            x_small = nn.avg_pool(x, (f, f), strides=(f, f))
+        else:
+            x_small = jax.image.resize(
+                x, (x.shape[0], enc_size, enc_size, x.shape[-1]),
+                method="linear", antialias=True,
             )
-        )
+        x_small = jax.lax.stop_gradient(x_small)
         latents = self.encode(x_small, train=train)
 
         noise = list(latents.noise)

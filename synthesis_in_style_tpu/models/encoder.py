@@ -45,11 +45,16 @@ class CodeLatents:
 
 
 class BasicBlock(nn.Module):
-    """torchvision ResNet BasicBlock (3x3-BN-ReLU-3x3-BN + skip)."""
+    """torchvision ResNet BasicBlock (3x3-BN-ReLU-3x3-BN + skip).
+
+    `downsample_bn=False` reproduces the reference's noise resblocks, whose
+    skip path is a bare 1x1 conv with no BatchNorm
+    (u_net_like_encoder.py:119-129)."""
 
     features: int
     stride: int = 1
     use_downsample: bool = False
+    downsample_bn: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -70,9 +75,10 @@ class BasicBlock(nn.Module):
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 name="downsample_conv",
             )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not train, name="downsample_bn"
-            )(identity)
+            if self.downsample_bn:
+                identity = nn.BatchNorm(
+                    use_running_average=not train, name="downsample_bn"
+                )(identity)
         return nn.relu(out + identity)
 
 
@@ -146,9 +152,10 @@ class UNetLikeEncoder(nn.Module):
             if self.with_noise_heads:
                 if self.noise_as_resblock:
                     noise_codes.append(
-                        BasicBlock(1, use_downsample=True, name=f"to_noise_{i}")(
-                            h, train=train
-                        )
+                        BasicBlock(
+                            1, use_downsample=True, downsample_bn=False,
+                            name=f"to_noise_{i}",
+                        )(h, train=train)
                     )
                 else:
                     noise_codes.append(
@@ -174,7 +181,7 @@ class UNetLikeEncoder(nn.Module):
                 if self.noise_as_resblock:
                     noise_codes.append(
                         BasicBlock(
-                            1, use_downsample=True,
+                            1, use_downsample=True, downsample_bn=False,
                             name=f"intermediate_to_noise_{i}",
                         )(h, train=train)
                     )

@@ -83,9 +83,19 @@ class PixelEnsembleClassifier:
 
     def forward_all(self, x: Array, train: bool = False) -> Array:
         """(B, dim) -> (num_models, B, num_classes) logits, one vmapped
-        apply."""
+        apply. With train=True the BatchNorm batch-statistics update is
+        computed and DISCARDED — the training step that owns the state
+        (updaters/dataset_gan_updater.py) threads batch_stats itself."""
+        if train:
+            def apply_one(v):
+                logits, _ = self.model.apply(
+                    v, x, train=True, mutable=["batch_stats"]
+                )
+                return logits
+
+            return jax.vmap(apply_one)(self.variables)
         return jax.vmap(
-            lambda v: self.model.apply(v, x, train=train)
+            lambda v: self.model.apply(v, x, train=False)
         )(self.variables)
 
     def predict_classes(self, x: Array) -> Array:

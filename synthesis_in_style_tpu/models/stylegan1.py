@@ -179,8 +179,10 @@ class NoiseInjection(nn.Module):
     @nn.compact
     def __call__(self, image: Array, noise: Array) -> Array:
         channels = image.shape[-1]
+        # zeros init (reference NoiseInjection weight = torch.zeros wrapped by
+        # equal_lr, model.py:290-296): noise is a no-op at the start of training
         weight = self.param(
-            "weight", nn.initializers.normal(stddev=1.0), (1, 1, 1, channels)
+            "weight", nn.initializers.zeros, (1, 1, 1, channels)
         )
         return image + weight * _equal_scale(channels) * noise
 
@@ -415,7 +417,9 @@ class ProgressiveDiscriminator(nn.Module):
             else:
                 in_ch, out_ch = down_channels[index]
                 fused = self.fused and index < 4
-                out = EqualConv(in_ch, 3, 1, name=f"conv_{index}_1")(out)
+                # reference ConvBlock: conv1 maps in->OUT channels, conv2
+                # out->out (model.py:236-255)
+                out = EqualConv(out_ch, 3, 1, name=f"conv_{index}_1")(out)
                 out = nn.leaky_relu(out, 0.2)
                 out = blur_3x3(out)
                 if fused:
