@@ -28,6 +28,7 @@ import numpy as np
 from PIL import Image, UnidentifiedImageError
 
 from synthesis_in_style_tpu.data.json_dataset import is_image
+from synthesis_in_style_tpu.utils.image_utils import resize_image
 from synthesis_in_style_tpu.evaluation.metrics import (
     calculate_confusion_matrix,
     calculate_metric,
@@ -165,13 +166,6 @@ def visualize_segmentation(assembled_prediction: np.ndarray,
     Image.fromarray(render).save(out_dir / f"{image_prefix}_segmentation.png")
 
 
-def resize_image(image: Image.Image, size) -> Image.Image:
-    h, w = size
-    if h == -1:
-        h = int(image.height * w / image.width)
-    if w == -1:
-        w = int(image.width * h / image.height)
-    return image.resize((w, h), Image.BILINEAR)
 
 
 def main(args: argparse.Namespace) -> None:

@@ -146,7 +146,13 @@ def build_dataset(
         )
 
     while generated < args.num_images or pending is not None:
-        if generated < args.num_images:
+        # count the in-flight batch toward the target so the pipeline does
+        # not dispatch (and save) a whole extra batch beyond num_images —
+        # overshoot stays < batch_size, like the reference's serial loop;
+        # if drops shrink the in-flight batch the while-condition re-checks
+        # and dispatches more
+        in_flight = pending[2] if pending is not None else 0
+        if generated + in_flight < args.num_images:
             z = next(latent_stream)
             activations, images = generate(z)
             batch_size = int(z.shape[0])

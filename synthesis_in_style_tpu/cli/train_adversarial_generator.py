@@ -32,6 +32,7 @@ from synthesis_in_style_tpu.core.config import (
 from synthesis_in_style_tpu.core.extensions import LogWriter, Snapshotter
 from synthesis_in_style_tpu.core.trainer import Trainer
 from synthesis_in_style_tpu.data import DataLoader
+from synthesis_in_style_tpu.data.loader import EpochStream
 from synthesis_in_style_tpu.losses.perceptual import PerceptualAndStyleLoss
 from synthesis_in_style_tpu.models.autoencoder import (
     ContentAndStyleStyleganAutoencoder,
@@ -106,7 +107,7 @@ def main(args: argparse.Namespace) -> None:
         {"params": key, "noise": key},
         jnp.zeros((1, size, size, channels)), train=False,
     )
-    d_vars = discriminator.init(key, jnp.zeros((1, size, size, 3)))
+    d_vars = discriminator.init(key, jnp.zeros((1, size, size, channels)))
 
     if args.autoencoder_checkpoint and Path(args.autoencoder_checkpoint).is_dir():
         from synthesis_in_style_tpu.utils.checkpoint import load_pytree
@@ -121,18 +122,22 @@ def main(args: argparse.Namespace) -> None:
             )
             g_vars = {**g_vars, "params": g_params}
 
+    # torch-style coupled L2 (reference GradientClipAdam), not adamw's
+    # decoupled decay
     optimizer_opts = dict(
         b1=float(config.get("beta1", 0.5)),
         b2=float(config.get("beta2", 0.999)),
-        weight_decay=float(config.get("weight_decay", 0.0)),
     )
+    weight_decay = float(config.get("weight_decay", 0.0))
     g_tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(float(config["lr"]), **optimizer_opts),
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(float(config["lr"]), **optimizer_opts),
     )
     d_tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(float(config["lr"]), **optimizer_opts),
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(float(config["lr"]), **optimizer_opts),
     )
 
     state = AdversarialTrainState(
@@ -155,23 +160,11 @@ def main(args: argparse.Namespace) -> None:
         loss_weights=config.get("loss_weights"),
     )
 
-    class _Stream:
-        def __init__(self, loader):
-            self._loader = loader
-            self._iterator = iter(loader.infinite())
-
-        def __next__(self):
-            return next(self._iterator)["images"]
-
-        @property
-        def epoch(self):
-            return self._loader.epoch
-
     updater = AdversarialAutoencoderUpdater(
         steps, state,
         iterators={
-            "original_images": _Stream(real_loader),
-            "binary_images": _Stream(fake_loader),
+            "original_images": EpochStream(real_loader, key="images"),
+            "binary_images": EpochStream(fake_loader, key="images"),
         },
     )
     trainer = Trainer(updater, (int(config["max_iter"]), "iteration"),

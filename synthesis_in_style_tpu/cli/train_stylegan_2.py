@@ -45,6 +45,7 @@ from synthesis_in_style_tpu.core.extensions import (
 from synthesis_in_style_tpu.core.schedules import clamped_cosine
 from synthesis_in_style_tpu.core.trainer import Trainer
 from synthesis_in_style_tpu.data import DataLoader, JSONDataset
+from synthesis_in_style_tpu.data.loader import EpochStream
 from synthesis_in_style_tpu.data.json_dataset import (
     CachingLoader,
     normalize_to_tensor,
@@ -155,12 +156,15 @@ def main(args: argparse.Namespace) -> None:
         compute_dtype=config.get("compute_dtype"),
     )
 
+    from synthesis_in_style_tpu.parallel import data_parallel_mesh
+
     updater = StyleGAN2Updater(
         gen, disc, g_tx, d_tx, state,
-        iterators={"images": _ImagesOnly(train_loader)},
+        iterators={"images": EpochStream(train_loader, key="images")},
         batch_size=config["batch_size"],
         cfg=gan_cfg,
         seed=config.get("seed", 0),
+        mesh=data_parallel_mesh(int(config["batch_size"])),
     )
 
     trainer = Trainer(
@@ -247,18 +251,6 @@ def main(args: argparse.Namespace) -> None:
         trainer.train()
 
 
-class _ImagesOnly:
-    """Infinite 'images'-array iterator over the loader with epoch tracking."""
-
-    def __init__(self, loader: DataLoader):
-        self._loader = loader
-        self._iterator = iter(loader.infinite())
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        return next(self._iterator)["images"]
 
     @property
     def epoch(self) -> float:

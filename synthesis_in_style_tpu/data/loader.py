@@ -142,6 +142,30 @@ class DataLoader:
             yield from self
 
 
+class EpochStream:
+    """Infinite batch stream over a DataLoader exposing the loader's
+    `.epoch` for (N, 'epoch') triggers; `key` optionally selects one entry
+    of each batch dict. The one shared wrapper used by every trainer wiring
+    (training_builder/base.py, the GAN and adversarial CLIs)."""
+
+    def __init__(self, loader: "DataLoader", key: Optional[str] = None,
+                 iterator: Optional[Iterator[Any]] = None):
+        self._loader = loader
+        self._iterator = iter(loader.infinite()) if iterator is None else iterator
+        self._key = key
+
+    def __iter__(self) -> "EpochStream":
+        return self
+
+    def __next__(self):
+        batch = next(self._iterator)
+        return batch[self._key] if self._key is not None else batch
+
+    @property
+    def epoch(self) -> float:
+        return self._loader.epoch
+
+
 def fill_plot_images(
     data_loader, num_desired_images: int = 16
 ) -> Dict[str, List[np.ndarray]]:

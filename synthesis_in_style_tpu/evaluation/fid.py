@@ -21,6 +21,7 @@ reference's explicit all_gather (fid.py:76-82) disappears.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Callable, Iterable, Optional, Union
 
@@ -109,10 +110,17 @@ class FID:
         feature_fn: Optional[Callable] = None,
         num_samples: int = 1000,
         batch_image_key: str = "output_image",
+        feature_name: Optional[str] = None,
     ):
+        """`feature_name` labels the embedding in the real-stats cache key;
+        pass one when supplying a custom feature_fn so stats computed under
+        a different extractor are never silently reused."""
         self.feature_fn = feature_fn or default_feature_fn()
         self.num_samples = num_samples
         self.batch_image_key = batch_image_key
+        self.feature_name = feature_name or (
+            "default" if feature_fn is None else "custom"
+        )
 
     # ---------------- statistics ----------------
 
@@ -162,7 +170,11 @@ class FID:
         if dataset_path is not None:
             import hashlib
 
-            digest = hashlib.sha256(str(dataset_path).encode()).hexdigest()[:16]
+            # key on everything that changes the real statistics: path,
+            # embedding, and sample count — stats from another extractor
+            # must never be silently reused
+            key = f"{dataset_path}|{self.feature_name}|{self.num_samples}"
+            digest = hashlib.sha256(key.encode()).hexdigest()[:16]
             cache_path = Path(dataset_path).parent / f"fid_stats_{digest}.npz"
         real = self.calculate_statistics_for_real_images(cache_path, data_loader)
         fake = get_statistics(self._collect(self.fake_batches(model_fn, data_loader)))
@@ -214,17 +226,19 @@ def make_fid_extension(gen, state_fn: Callable, config: dict,
         batch_image_key="images",
     )
 
+    # jit ONCE with the params as arguments — a fresh closure per eval would
+    # bake g_ema in as constants and force a full generator retrace+recompile
+    # every epoch
+    @jax.jit
+    def sample(g_ema, g_noises, z):
+        images, _ = gen.apply(
+            {"params": g_ema, "noises": g_noises}, [z], randomize_noise=False
+        )
+        return images
+
     def eval_fn(trainer):
         state = state_fn(trainer)
-
-        @jax.jit
-        def sample(z):
-            images, _ = gen.apply(
-                {"params": state.g_ema, "noises": state.g_noises},
-                [z], randomize_noise=False,
-            )
-            return images
-
-        return {"fid_score": fid(sample, loader, dataset_path=val_json)}
+        model_fn = partial(sample, state.g_ema, state.g_noises)
+        return {"fid_score": fid(model_fn, loader, dataset_path=val_json)}
 
     return Evaluator(eval_fn, trigger=(1, "epoch"), prefix="evaluation")

@@ -24,11 +24,15 @@ def calculate_confusion_matrix(
 ) -> np.ndarray:
     """(H, W) or (B, H, W) integer class maps -> (C, C) matrix with
     rows = ground truth, cols = prediction (reference :72-95)."""
-    gt = jnp.asarray(ground_truth).reshape(-1)
-    pred = jnp.asarray(prediction).reshape(-1)
-    gt_onehot = jax.nn.one_hot(gt, num_classes, dtype=jnp.float32)
-    pred_onehot = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
-    return np.asarray(gt_onehot.T @ pred_onehot)
+    # exact integer counts via bincount of the joint index — a float32
+    # one-hot matmul would silently stop counting once any cell exceeds
+    # 2^24 pixels (one large page scan is enough); int32 is exact to 2^31
+    gt = jnp.asarray(ground_truth).reshape(-1).astype(jnp.int32)
+    pred = jnp.asarray(prediction).reshape(-1).astype(jnp.int32)
+    joint = gt * num_classes + pred
+    counts = jnp.bincount(joint, length=num_classes * num_classes)
+    matrix = np.asarray(counts, np.int64).reshape(num_classes, num_classes)
+    return matrix.astype(np.float64)
 
 
 def _nan_to_one(value: float) -> float:

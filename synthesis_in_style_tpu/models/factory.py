@@ -60,7 +60,9 @@ def get_discriminator(
     if str(variant) == "swagan":
         return swagan.Discriminator(**kwargs)
     if str(variant) == "2":
-        return stylegan2.Discriminator(**kwargs)
+        return stylegan2.Discriminator(
+            input_channels=config.get("input_dim", 3), **kwargs
+        )
     raise NotImplementedError(f"stylegan variant {variant!r} not supported")
 
 

@@ -55,6 +55,27 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.device_put(batch, batch_sharding(mesh, axis))
 
 
+def data_parallel_mesh(batch_size: int) -> Optional[Mesh]:
+    """The mesh a train CLI should use: a ("data",) mesh over all devices
+    when there is more than one and the global batch divides evenly; None
+    (single-device execution) otherwise, with a warning so silent 1-of-N
+    usage can't happen unnoticed."""
+    n = jax.device_count()
+    if n <= 1:
+        return None
+    if batch_size % n != 0:
+        import warnings
+
+        warnings.warn(
+            f"batch_size {batch_size} is not divisible by the {n} available "
+            f"devices — training will run on ONE device; pick a divisible "
+            f"batch size to enable data parallelism",
+            stacklevel=2,
+        )
+        return None
+    return make_mesh()
+
+
 def local_batch_slice(global_batch_size: int) -> slice:
     """This host's slice of the global batch (multi-host data loading;
     replaces DistributedSampler, utils/data_loading.py:53-57)."""

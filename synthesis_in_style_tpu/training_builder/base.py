@@ -36,6 +36,7 @@ from synthesis_in_style_tpu.core.schedules import (
     constant,
     cosine_warm_restarts,
 )
+from synthesis_in_style_tpu.data.loader import EpochStream
 from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
 from synthesis_in_style_tpu.updaters.segmentation_updater import (
     SegmentationUpdater,
@@ -152,12 +153,14 @@ class BaseTrainBuilder:
 
     def get_updater(self) -> SegmentationUpdater:
         if self._updater is None:
-            iterator = iter(self.train_data_loader.infinite())
+            from synthesis_in_style_tpu.parallel import data_parallel_mesh
+
             self._updater = SegmentationUpdater(
                 self._make_train_step(self.tx),
                 self.state,
-                iterators={"images": _EpochTrackingIterator(iterator, self.train_data_loader)},
+                iterators={"images": EpochStream(self.train_data_loader)},
                 seed=self.seed,
+                mesh=data_parallel_mesh(self.train_data_loader.batch_size),
             )
         return self._updater
 
@@ -281,20 +284,3 @@ class BaseTrainBuilder:
         return self.network, variables, self.segmenter_config()
 
 
-class _EpochTrackingIterator:
-    """Wraps an infinite iterator, exposing the loader's `.epoch` for
-    (N, 'epoch') triggers."""
-
-    def __init__(self, iterator, loader):
-        self._iterator = iterator
-        self._loader = loader
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        return next(self._iterator)
-
-    @property
-    def epoch(self) -> float:
-        return self._loader.epoch

@@ -23,16 +23,19 @@ class DocUFCNTrainBuilder(BaseTrainBuilder):
         )
 
     def _build_optimizer(self) -> optax.GradientTransformation:
-        """GradientClipAdam equivalent: global-norm clip then adam with
-        decoupled weight decay (reference doc_ufcn_train_builder.py:29-31)."""
+        """GradientClipAdam equivalent: global-norm clip then torch-style
+        Adam with COUPLED L2 weight decay — wd*param is added to the
+        gradient BEFORE the adaptive scaling (torch.optim.Adam semantics,
+        reference doc_ufcn_train_builder.py:29-31), not adamw's decoupled
+        post-scaling decay."""
         config = self.config
         return optax.chain(
             optax.clip_by_global_norm(1.0),
-            optax.adamw(
+            optax.add_decayed_weights(float(config.get("weight_decay", 0.0))),
+            optax.adam(
                 self.lr_schedule(),
                 b1=float(config.get("beta1", 0.9)),
                 b2=float(config.get("beta2", 0.999)),
-                weight_decay=float(config.get("weight_decay", 0.0)),
             ),
         )
 

@@ -59,13 +59,15 @@ class PixelEnsembleTrainBuilder(BaseTrainBuilder):
 
     def _build_optimizer(self) -> optax.GradientTransformation:
         config = self.config
+        # torch-style coupled L2 (wd*param into the gradient before the
+        # adaptive scaling), matching reference GradientClipAdam
         return optax.chain(
             optax.clip_by_global_norm(1.0),
-            optax.adamw(
+            optax.add_decayed_weights(float(config.get("weight_decay", 0.0))),
+            optax.adam(
                 float(config["lr"]),
                 b1=float(config.get("beta1", 0.9)),
                 b2=float(config.get("beta2", 0.999)),
-                weight_decay=float(config.get("weight_decay", 0.0)),
             ),
         )
 

@@ -226,13 +226,27 @@ class SegmentationUpdater(Updater):
         state: SegTrainState,
         iterators,
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: a ("data",) jax.sharding.Mesh for multi-chip data
+        parallelism — params replicated, batches sharded on axis 0; BN
+        statistics and gradients become global collectives automatically
+        (parallel/mesh.py). None = single-device."""
         super().__init__(iterators, seed=seed)
         self.train_step = train_step
+        self.mesh = mesh
+        if mesh is not None:
+            from synthesis_in_style_tpu.parallel import replicate
+
+            state = replicate(mesh, state)
         self.state = state
 
     def update_core(self):
         batch = self.next_batch("images")
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from synthesis_in_style_tpu.parallel import shard_batch
+
+            batch = shard_batch(self.mesh, batch)
         self.state, metrics = self.train_step(self.state, batch, self.next_rng())
         self.report(metrics, prefix="loss")

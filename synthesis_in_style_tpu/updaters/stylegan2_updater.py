@@ -115,15 +115,30 @@ def make_train_steps(
     cfg: StyleGAN2Config,
     batch_size: int,
     donate: bool = True,
+    mesh=None,
 ) -> Dict[str, Callable]:
     """Build the four jitted step functions. All take (state, [real,] rng) and
-    return (state, metrics)."""
+    return (state, metrics).
+
+    `mesh`: with a ("data",) mesh, the in-jit latent draws are
+    sharding-constrained over the batch axis — without the hint, GSPMD can
+    leave the whole generator-side compute replicated (the G step has no
+    sharded *input* to propagate from)."""
 
     n_latent = gen.n_latent
     style_dim = gen.style_dim
     compute_dtype = (
         jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype is not None else None
     )
+
+    def _shard_hint(x):
+        if mesh is None or x.shape[0] % mesh.devices.size != 0:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec("data"))
+        )
 
     def _cast(tree):
         """floating leaves -> compute dtype (grad flows back to f32 masters);
@@ -135,8 +150,8 @@ def make_train_steps(
     def _fake_images(g_params, g_noises, rng, batch):
         kz1, kz2, kmix, knoise = jax.random.split(rng, 4)
         dtype = compute_dtype or jnp.float32
-        z1 = jax.random.normal(kz1, (batch, style_dim), dtype)
-        z2 = jax.random.normal(kz2, (batch, style_dim), dtype)
+        z1 = _shard_hint(jax.random.normal(kz1, (batch, style_dim), dtype))
+        z2 = _shard_hint(jax.random.normal(kz2, (batch, style_dim), dtype))
         inject = _sample_inject_index(kmix, cfg.mixing_prob, n_latent)
         img, _ = _mixed_forward(
             gen,
@@ -220,8 +235,8 @@ def make_train_steps(
     def g_reg_step(state: GANTrainState, rng: jax.Array):
         path_batch = max(1, batch_size // cfg.path_batch_shrink)
         kz1, kz2, kmix, knoise, kpl = jax.random.split(rng, 5)
-        z1 = jax.random.normal(kz1, (path_batch, style_dim))
-        z2 = jax.random.normal(kz2, (path_batch, style_dim))
+        z1 = _shard_hint(jax.random.normal(kz1, (path_batch, style_dim)))
+        z2 = _shard_hint(jax.random.normal(kz2, (path_batch, style_dim)))
         inject = _sample_inject_index(kmix, cfg.mixing_prob, n_latent)
 
         def loss_fn(g_params):
@@ -297,18 +312,32 @@ class StyleGAN2Updater(Updater):
         batch_size: int,
         cfg: Optional[StyleGAN2Config] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: a ("data",) jax.sharding.Mesh for multi-chip data
+        parallelism — params are replicated, batches sharded on axis 0, and
+        XLA inserts the gradient/path-length collectives (parallel/mesh.py).
+        None = single-device."""
         super().__init__(iterators, seed=seed)
         self.cfg = cfg or StyleGAN2Config()
         self.gen = gen
         self.disc = disc
+        self.mesh = mesh
+        if mesh is not None:
+            from synthesis_in_style_tpu.parallel import replicate
+
+            state = replicate(mesh, state)
         self.state = state
         self.steps = make_train_steps(
-            gen, disc, g_tx, d_tx, self.cfg, batch_size
+            gen, disc, g_tx, d_tx, self.cfg, batch_size, mesh=mesh
         )
 
     def update_core(self):
         real = jnp.asarray(self.next_batch("images"))
+        if self.mesh is not None:
+            from synthesis_in_style_tpu.parallel import shard_batch
+
+            real = shard_batch(self.mesh, real)
         metrics = {}
 
         self.state, m = self.steps["d_step"](self.state, real, self.next_rng())

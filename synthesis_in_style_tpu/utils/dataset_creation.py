@@ -113,14 +113,20 @@ def make_image(tensor) -> np.ndarray:
     return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
 
 
+def sharded_image_path(image_id: int, base_dir: Path, file_name: str) -> Path:
+    """Sharded dirs id//1000, id//100000 (reference :84-90); creates parents.
+    The single source of the on-disk layout — both writers below use it."""
+    sub1 = str(image_id // 1000)
+    sub2 = str(image_id // 100000)
+    dest = Path(base_dir) / sub2 / sub1 / file_name
+    dest.parent.mkdir(exist_ok=True, parents=True)
+    return dest
+
+
 def save_image(
     image: np.ndarray, image_id: int, base_dir: Path, name_format: str = "{id}.png"
 ) -> Path:
-    """Sharded dirs id//1000, id//100000 (reference :84-90)."""
-    sub1 = str(image_id // 1000)
-    sub2 = str(image_id // 100000)
-    dest = Path(base_dir) / sub2 / sub1 / name_format.format(id=image_id)
-    dest.parent.mkdir(exist_ok=True, parents=True)
+    dest = sharded_image_path(image_id, base_dir, name_format.format(id=image_id))
     Image.fromarray(image).save(str(dest))
     return dest
 
@@ -140,14 +146,9 @@ def save_generated_images(
     paths = []
     for idx in range(len(images)):
         image_id = batch_id + idx
-        dest = (
-            Path(base_dir)
-            / str(image_id // 100000)
-            / str(image_id // 1000)
-            / f"{image_id:0{digits}d}.png"
+        paths.append(
+            sharded_image_path(image_id, base_dir, f"{image_id:0{digits}d}.png")
         )
-        dest.parent.mkdir(exist_ok=True, parents=True)
-        paths.append(dest)
 
     from synthesis_in_style_tpu.native import write_png_batch
 
