@@ -219,10 +219,13 @@ def make_handler(labeller: Labeller):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/":
+            # strip the query string — the UI appends a ?t=<now> cache-buster
+            # to every image URL
+            path = self.path.split("?", 1)[0]
+            if path == "/":
                 self._send(render_index(labeller).encode(), "text/html")
                 return
-            m = image_re.match(self.path)
+            m = image_re.match(path)
             if m:
                 kind, image_id, sub_image_id = m.groups()
                 img = labeller.get_image(
@@ -238,7 +241,7 @@ def make_handler(labeller: Labeller):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             data = json.loads(self.rfile.read(length) or b"{}")
-            m = label_re.match(self.path)
+            m = label_re.match(self.path.split("?", 1)[0])
             if m:
                 image_id, sub_image_id = map(int, m.groups())
                 labeller.adjust_label(image_id, sub_image_id, data)

@@ -44,7 +44,9 @@ def get_fastpng() -> Optional[ctypes.CDLL]:
         _SOURCE_PATH.exists()
         and _SOURCE_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
     ):
-        if not _build_library():
+        if not _build_library() and not _LIB_PATH.exists():
+            # no compiler AND no prebuilt library; a stale-but-present .so
+            # (mtimes after a fresh clone are arbitrary) is still loaded
             _load_failed = True
             return None
     try:
@@ -86,7 +88,8 @@ def encode_png(image: np.ndarray, compression: int = 6) -> Optional[bytes]:
     )
     if rc != 0:
         return None
-    return bytes(bytearray(out)[: out_len.value])
+    # copy only the encoded bytes, not the full compressBound capacity
+    return ctypes.string_at(out, out_len.value)
 
 
 def write_png_batch(
@@ -105,6 +108,9 @@ def write_png_batch(
     if images.ndim != 4 or images.shape[-1] != 3:
         return False
     n, h, w, _ = images.shape
+    if len(paths) != n:
+        # a short paths list would hand NULL char pointers to fopen() in C
+        return False
     encoded_paths: List[bytes] = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * n)(*encoded_paths)
     rc = lib.fastpng_write_batch(

@@ -107,15 +107,15 @@ def embed_images(args, config: dict) -> Tuple[np.ndarray, List[np.ndarray]]:
     cached to npz."""
     cache = Path(args.save_dir) / "embedded.npz"
     if cache.exists() and not args.force:
-        data = np.load(cache, allow_pickle=True)
-        return data["latents"], list(data["noises"])
+        data = np.load(cache)
+        return (
+            data["latents"],
+            [data[f"noise_{i}"] for i in range(int(data["num_noise_layers"]))],
+        )
 
     from synthesis_in_style_tpu.cli.train_stylegan_2 import GANImageDataset
     from synthesis_in_style_tpu.data import DataLoader
-    from synthesis_in_style_tpu.models.autoencoder import StyleganAutoencoder
-    from synthesis_in_style_tpu.models.encoder import WPlusEncoder
-    from synthesis_in_style_tpu.models.factory import get_generator
-    from synthesis_in_style_tpu.models.stylegan2 import generator_channels
+    from synthesis_in_style_tpu.models.factory import get_autoencoder
     from synthesis_in_style_tpu.utils.checkpoint import load_pytree
 
     dataset_json = Path(args.dataset)
@@ -127,21 +127,16 @@ def embed_images(args, config: dict) -> Tuple[np.ndarray, List[np.ndarray]]:
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
                         drop_last=False, num_workers=2)
 
-    ae = StyleganAutoencoder(
-        encoder=WPlusEncoder(
-            config["image_size"], config["latent_size"],
-            config.get("input_dim", 3),
-            generator_channels(config.get("channel_multiplier", 2)),
-        ),
-        decoder=get_generator(config),
-    )
+    # the factory handles stylegan_variant / latent_size defaults exactly
+    # like the snapshot's own training run did
+    ae = get_autoencoder(config)
     tree = load_pytree(Path(args.autoencoder_checkpoint))
     variables = jax.tree_util.tree_map(jnp.asarray, tree["autoencoder"])
 
     @jax.jit
     def encode(x):
         return ae.apply(variables, x, train=False,
-                        method=StyleganAutoencoder.encode)
+                        method="encode")
 
     all_latents = []
     all_noises = None
@@ -158,8 +153,12 @@ def embed_images(args, config: dict) -> Tuple[np.ndarray, List[np.ndarray]]:
     noises = [np.concatenate(acc, axis=0) for acc in all_noises]
 
     cache.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(cache, latents=latents,
-             noises=np.asarray(noises, dtype=object))
+    # per-layer keys — the noise maps have different spatial shapes, so one
+    # object array cannot hold them (np.asarray raises)
+    np.savez(
+        cache, latents=latents, num_noise_layers=len(noises),
+        **{f"noise_{i}": n for i, n in enumerate(noises)},
+    )
     return latents, noises
 
 

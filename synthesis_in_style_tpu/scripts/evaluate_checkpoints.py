@@ -53,6 +53,13 @@ def evaluate_checkpoint(checkpoint: str, dataset: dict, args) -> None:
     dataset_name = dataset["name"]
     evaluation_root = Path(args.evaluation_root)
     todo = has_not_been_evaluated(checkpoint_name, dataset_name, evaluation_root)
+    todo = {
+        "reconstruction": args.reconstruction and todo["reconstruction"],
+        "fid": args.fid and todo["fid"],
+    }
+    if not any(todo.values()):
+        # skip BEFORE loading anything (reference :104-106 resume semantics)
+        return
 
     config = load_config_from_checkpoint(checkpoint, args.original_config_path)
     config.setdefault("batch_size", args.batch_size)
@@ -68,24 +75,41 @@ def evaluate_checkpoint(checkpoint: str, dataset: dict, args) -> None:
     loader = DataLoader(data, args.batch_size, num_workers=2, shuffle=False,
                         drop_last=False)
 
-    if args.reconstruction and todo["reconstruction"]:
-        # "reconstruction" for a pure generator: project is expensive; the
-        # reference evaluated autoencoders. Here: re-synthesize from the
-        # mean latent and compare against itself is meaningless, so PSNR/SSIM
-        # is computed between generated samples and their own reconstruction
-        # through fixed noise (a determinism check) unless the checkpoint is
-        # an autoencoder snapshot.
-        evaluator = PSNRSSIMEvaluator()
-        z = jax.random.normal(jax.random.PRNGKey(0), (1, gen.style_dim))
-        img1, _ = gen.apply(variables, [z], randomize_noise=False)
-        img2, _ = gen.apply(variables, [z], randomize_noise=False)
-        psnr, ssim = evaluator.psnr_and_ssim(img1, img2)
-        save_eval_result(
-            {"psnr": float(psnr), "ssim": float(ssim)},
-            "reconstruction", evaluation_root, dataset_name, checkpoint_name,
+    if todo["reconstruction"]:
+        # PSNR/SSIM of the AUTOENCODER reconstruction against the real
+        # validation images (the reference evaluated autoencoder
+        # checkpoints, :38-53). Generator-only snapshots have no defined
+        # reconstruction — record the skip so the sweep does not retry.
+        from synthesis_in_style_tpu.models.factory import (
+            load_autoencoder_or_generator,
         )
 
-    if args.fid and todo["fid"]:
+        model, model_vars = load_autoencoder_or_generator(checkpoint, config)
+        if hasattr(model, "encode"):
+            evaluator = PSNRSSIMEvaluator()
+            psnrs, ssims = [], []
+            for i, batch in enumerate(loader):
+                images = jnp.asarray(batch["images"])
+                recon = model.apply(
+                    model_vars, images,
+                    rngs={"noise": jax.random.PRNGKey(i)},
+                )
+                psnr, ssim = evaluator.psnr_and_ssim(recon, images)
+                psnrs.append(float(psnr))
+                ssims.append(float(ssim))
+            result = {
+                "psnr": float(np.mean(psnrs)),
+                "ssim": float(np.mean(ssims)),
+            }
+        else:
+            result = {"skipped": "generator-only checkpoint has no "
+                                 "reconstruction path"}
+        save_eval_result(
+            result, "reconstruction", evaluation_root, dataset_name,
+            checkpoint_name,
+        )
+
+    if todo["fid"]:
         fid = GenerativeFID(
             latent_size=gen.style_dim, batch_size=args.batch_size,
             num_samples=args.num_fid_samples, batch_image_key="images",
@@ -108,10 +132,20 @@ def main(args: argparse.Namespace) -> None:
         checkpoints = [line.strip() for line in f if line.strip()]
     with open(args.dataset_file) as f:
         datasets = json.load(f)
+    failed = []
     for checkpoint in checkpoints:
         for dataset in datasets:
             print(f"evaluating {checkpoint} on {dataset['name']}")
-            evaluate_checkpoint(checkpoint, dataset, args)
+            try:
+                evaluate_checkpoint(checkpoint, dataset, args)
+            except Exception as e:  # noqa: BLE001 — one bad combination must
+                # not abort the sweep (reference :146-157)
+                print(f"  FAILED: {e}")
+                failed.append((checkpoint, dataset["name"], str(e)))
+    if failed:
+        print("failed combinations:")
+        for checkpoint, name, err in failed:
+            print(f"  {checkpoint} on {name}: {err}")
 
 
 def build_parser() -> argparse.ArgumentParser:

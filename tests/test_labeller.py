@@ -77,6 +77,9 @@ def test_labeller_http_roundtrip(labeller):
         assert "Semantic Class Labeller" in index
         png = urllib.request.urlopen(f"{base_url}/image/0/0").read()
         assert png[:4] == b"\x89PNG"
+        # the shipped UI appends a ?t=<now> cache-buster to every image URL
+        png = urllib.request.urlopen(f"{base_url}/image/0/0?t=123456").read()
+        assert png[:4] == b"\x89PNG"
         req = urllib.request.Request(
             f"{base_url}/label/0/0",
             data=json.dumps({
