@@ -137,11 +137,12 @@ def main(args: argparse.Namespace) -> None:
     if config.get("resume_ckpt"):
         from synthesis_in_style_tpu.utils.checkpoint import load_pytree
 
-        tree = load_pytree(Path(config["resume_ckpt"]))
-        state = state.replace(
-            g_params=jax.tree_util.tree_map(jnp.asarray, tree["generator"]),
-            d_params=jax.tree_util.tree_map(jnp.asarray, tree["discriminator"]),
-            g_ema=jax.tree_util.tree_map(jnp.asarray, tree["g_ema"]),
+        from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+            restore_gan_snapshot,
+        )
+
+        state = restore_gan_snapshot(
+            state, load_pytree(Path(config["resume_ckpt"]))
         )
 
     reg = config.get("regularization", {})

@@ -107,6 +107,35 @@ def _sample_inject_index(rng, mixing_prob: float, n_latent: int):
     return jnp.where(mixed, idx, n_latent)
 
 
+def restore_gan_snapshot(state: GANTrainState, tree) -> GANTrainState:
+    """Restore a Snapshotter tree (keys generator/discriminator/g_ema[/
+    g_noises/generator_optimizer/discriminator_optimizer]) into a fresh
+    train state (reference resume, train_stylegan_2.py:75-77 — the torch
+    state dicts carried noise buffers and optimizer moments too)."""
+    asarray = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+    state = state.replace(
+        g_params=asarray(tree["generator"]),
+        d_params=asarray(tree["discriminator"]),
+        g_ema=asarray(tree["g_ema"]),
+    )
+    if "g_noises" in tree:
+        state = state.replace(g_noises=asarray(tree["g_noises"]))
+    if "generator_optimizer" in tree:
+        # orbax restores plain nested containers; rebuild the optax state
+        # structure by matching leaves onto the freshly-initialized state
+        def _restore_opt(ref, loaded):
+            leaves = [jnp.asarray(v) for v in jax.tree_util.tree_leaves(loaded)]
+            return jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(ref), leaves
+            )
+
+        state = state.replace(
+            g_opt=_restore_opt(state.g_opt, tree["generator_optimizer"]),
+            d_opt=_restore_opt(state.d_opt, tree["discriminator_optimizer"]),
+        )
+    return state
+
+
 def make_train_steps(
     gen,
     disc,

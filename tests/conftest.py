@@ -4,9 +4,20 @@ so multi-chip sharding logic is exercised without TPU hardware
 
 import os
 
+import re
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # normalize a pre-existing (possibly different) device count to 8 —
+    # every mesh test assumes exactly 8 virtual devices
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8",
+        flags,
+    )
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()

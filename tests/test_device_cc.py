@@ -200,9 +200,12 @@ def test_device_filter_active_at_zero_confidence():
     )
     from PIL import Image
 
+    # positive control: closing an ISOLATED 2x2 speck returns the 2x2
+    # (dilate→erode), i.e. 4 pixels — below that threshold it must SURVIVE
+    seg.set_hyperparams({"min_contour_area": 2})
     out = seg.segment_image(Image.fromarray(np.zeros((32, 32, 3), np.uint8)))
-    # the 2x2 speck (area 4, closed to <=36... area 36 < ...) — with 5x5
-    # closing the speck grows to 6x6=36 >= 30, so use a bigger threshold
+    assert (np.argmax(out, axis=-1) == 1).sum() > 0
+    # negative control: above the speck's area the filter removes it
     seg.set_hyperparams({"min_contour_area": 50})
     out = seg.segment_image(Image.fromarray(np.zeros((32, 32, 3), np.uint8)))
     assert (np.argmax(out, axis=-1) == 1).sum() == 0

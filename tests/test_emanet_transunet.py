@@ -19,8 +19,8 @@ from synthesis_in_style_tpu.models.trans_u_net import (
 
 
 def test_resize_bilinear_align_corners_matches_torch():
-    import torch
-    import torch.nn.functional as F
+    torch = pytest.importorskip("torch")
+    F = torch.nn.functional
 
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 7, 5, 3)).astype(np.float32)

@@ -68,13 +68,25 @@ def test_g_step_and_ema(setup):
     *_, state, steps = setup
     new_state, m = steps["g_step"](state, jax.random.PRNGKey(3))
     assert np.isfinite(float(m["generator_loss"]))
-    # EMA must have moved toward (tiny step of) the new params but not equal them
-    diffs = jax.tree_util.tree_map(
-        lambda e, p: float(jnp.max(jnp.abs(e - p))), new_state.g_ema, new_state.g_params
-    )
-    leaves = jax.tree_util.tree_leaves(diffs)
-    assert max(leaves) > 0  # not equal to raw params
     assert int(new_state.step) == int(state.step) + 1
+    # EMA blend: after ema_step, the EMA pulls toward the new params but not
+    # onto them (decay in (0, 1)). Per-leaf we allow <= — the style layers
+    # store weights at ~100x scale (equalized lr), where one EMA step's
+    # shift is below f32 resolution — but the TOTAL distance must strictly
+    # shrink and never reach zero.
+    ema_state, _ = steps["ema_step"](new_state)
+    total_before = total_after = 0.0
+    for e0, e1, p in zip(
+        jax.tree_util.tree_leaves(new_state.g_ema),
+        jax.tree_util.tree_leaves(ema_state.g_ema),
+        jax.tree_util.tree_leaves(new_state.g_params),
+    ):
+        before = float(jnp.sum(jnp.abs(e0 - p)))
+        after = float(jnp.sum(jnp.abs(e1 - p)))
+        assert after <= before
+        total_before += before
+        total_after += after
+    assert 0 < total_after < total_before
 
 
 def test_g_reg_step_path_length(setup):

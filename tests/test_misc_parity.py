@@ -60,6 +60,13 @@ def test_convert_autoencoder_checkpoint():
     # DDP prefix stripped in the flattened autoencoder dict
     assert "encoder.conv.weight" in converted["autoencoder"]
     assert "other.bias" in converted["autoencoder"]
-    # idempotent
+    # idempotent: converting again must change nothing
+    import copy
+
+    before = copy.deepcopy(converted)
     again = convert_autoencoder_checkpoint(converted)
-    assert again is converted or "encoder" in again
+    assert set(again) == set(before)
+    for section in before:
+        assert set(again[section]) == set(before[section])
+        for key in before[section]:
+            np.testing.assert_array_equal(again[section][key], before[section][key])

@@ -61,14 +61,9 @@ def test_segmentation_updater_with_mesh_runs_sharded(tmp_path):
     """Updater-level data parallelism: SegmentationUpdater with a ("data",)
     mesh replicates state and shards batches (the wiring the train CLIs use
     via parallel.data_parallel_mesh)."""
-    import optax
-
-    from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
     from synthesis_in_style_tpu.parallel import data_parallel_mesh
     from synthesis_in_style_tpu.updaters.segmentation_updater import (
         SegmentationUpdater,
-        create_seg_train_state,
-        make_standard_train_step,
     )
 
     batch = 8  # divisible by the 8 virtual devices
@@ -114,12 +109,7 @@ def test_stylegan2_updater_with_mesh_runs_sharded():
     """Full GAN updater (D + regs + G + EMA) under a ("data",) mesh — the
     exact wiring cli/train_stylegan_2.py uses; latent draws inside the jitted
     steps carry sharding constraints so GSPMD shards the G-side compute."""
-    import optax
-
-    from synthesis_in_style_tpu.models.stylegan2 import (
-        Discriminator,
-        Generator,
-    )
+    from synthesis_in_style_tpu.models.stylegan2 import Discriminator, Generator
     from synthesis_in_style_tpu.parallel import data_parallel_mesh
     from synthesis_in_style_tpu.updaters.stylegan2_updater import (
         StyleGAN2Config,

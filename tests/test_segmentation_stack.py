@@ -107,10 +107,12 @@ def test_augmented_dataset_first_pass_is_original(seg_dataset):
         json_path, color_map_path, root=json_path.parent, image_size=32
     )
     np.testing.assert_array_equal(ds[1]["images"], base[1]["images"])
-    # augmented copies are reproducible and (almost surely) different
+    # augmented copies are reproducible and actually transformed — if the
+    # augmenter regressed to identity this must fail
     a = ds[5]
     b = ds[5]
     np.testing.assert_array_equal(a["images"], b["images"])
+    assert not np.array_equal(a["images"], base[1]["images"])
 
 
 def test_data_loader_shards_and_epochs(seg_dataset):

@@ -72,13 +72,16 @@ def test_gan_train_cli(tmp_path):
     assert any("train/path_loss" in e for e in log_lines)
     assert list((log_dir / "images").glob("*.png"))
 
-    # resume path: the snapshot round-trips into a fresh train state
+    # resume path: the snapshot round-trips into a fresh train state via the
+    # SAME function the CLI uses, restoring noise buffers and Adam moments
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from synthesis_in_style_tpu.models.factory import get_discriminator, get_generator
     from synthesis_in_style_tpu.updaters.stylegan2_updater import (
         create_gan_train_state,
+        restore_gan_snapshot,
     )
 
     gen = get_generator(config)
@@ -87,11 +90,23 @@ def test_gan_train_cli(tmp_path):
     state = create_gan_train_state(
         gen, disc, jax.random.PRNGKey(0), config["image_size"], g_tx, d_tx
     )
-    resumed = state.replace(
-        g_params=jax.tree_util.tree_map(jnp.asarray, tree["generator"]),
-        d_params=jax.tree_util.tree_map(jnp.asarray, tree["discriminator"]),
-        g_ema=jax.tree_util.tree_map(jnp.asarray, tree["g_ema"]),
+    resumed = restore_gan_snapshot(state, tree)
+    # noise buffers come from the snapshot, not the fresh init
+    for name, buf in tree["g_noises"].items():
+        np.testing.assert_array_equal(
+            np.asarray(resumed.g_noises[name]), np.asarray(buf)
+        )
+    # optimizer moments restored: at least one Adam moment leaf is nonzero
+    # after training, and the restored structure matches the fresh one
+    assert jax.tree_util.tree_structure(resumed.g_opt) == (
+        jax.tree_util.tree_structure(state.g_opt)
     )
+    moments = [
+        np.abs(np.asarray(leaf)).sum()
+        for leaf in jax.tree_util.tree_leaves(resumed.g_opt)
+        if hasattr(leaf, "ndim") and leaf.ndim > 0
+    ]
+    assert any(m > 0 for m in moments)
     img, _ = gen.apply(
         {"params": resumed.g_ema, "noises": resumed.g_noises},
         [jnp.zeros((1, config["latent_size"]))],
