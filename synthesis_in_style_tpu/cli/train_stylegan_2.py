@@ -10,9 +10,11 @@ probe set).
 TPU-first: no process groups / DDP — the jitted train steps
 (updaters.stylegan2_updater) run data-parallel when the batch is sharded over
 a mesh; EMA, R1 and path-length double-grads are part of the compiled steps.
-`freeze_stochastic_noise_layers` is a no-op here: noise buffers live in the
-non-trainable "noises" collection by construction (the reference needed
-explicit requires_grad surgery, stylegan_2_updater.py:35-43).
+Config key `freeze_stochastic_noise_layers` (bool = all layers, or a list of
+layer indices) makes those layers feed the stored noise buffers every train
+step while the rest re-randomize (reference stylegan_2_updater.py:35-43,
+:68-76). `--resume-ckpt` accepts both our orbax snapshots and reference
+torch `.pt` checkpoints (reference train_stylegan_2.py:75-77).
 
 Usage:
   python -m synthesis_in_style_tpu.cli.train_stylegan_2 <config.yaml> \
@@ -135,15 +137,36 @@ def main(args: argparse.Namespace) -> None:
         config["image_size"], g_tx, d_tx,
     )
     if config.get("resume_ckpt"):
-        from synthesis_in_style_tpu.utils.checkpoint import load_pytree
-
         from synthesis_in_style_tpu.updaters.stylegan2_updater import (
             restore_gan_snapshot,
         )
+        from synthesis_in_style_tpu.utils.checkpoint import load_pytree
 
-        state = restore_gan_snapshot(
-            state, load_pytree(Path(config["resume_ckpt"]))
-        )
+        ckpt_path = Path(config["resume_ckpt"])
+        if ckpt_path.is_file() and ckpt_path.suffix in (".pt", ".pth"):
+            # reference torch checkpoint (train_stylegan_2.py:75-77)
+            from synthesis_in_style_tpu.utils.checkpoint import (
+                gan_snapshot_tree_from_torch,
+                load_torch_checkpoint,
+            )
+
+            tree = gan_snapshot_tree_from_torch(
+                load_torch_checkpoint(ckpt_path),
+                stylegan_variant=config.get("stylegan_variant", 2),
+            )
+        else:
+            tree = load_pytree(ckpt_path)
+        state = restore_gan_snapshot(state, tree)
+
+    # bool True = freeze all layers; list = those indices; False/absent = none
+    # (reference stylegan_2_updater.py:35-43)
+    freeze = config.get("freeze_stochastic_noise_layers", False)
+    if freeze is True:
+        freeze_layers = tuple(range(gen.num_layers))
+    elif freeze:
+        freeze_layers = tuple(int(i) for i in freeze)
+    else:
+        freeze_layers = ()
 
     reg = config.get("regularization", {})
     gan_cfg = StyleGAN2Config(
@@ -152,6 +175,7 @@ def main(args: argparse.Namespace) -> None:
         d_reg_every=int(reg.get("d_interval", 16)),
         g_reg_every=int(reg.get("g_interval", 4)),
         mixing_prob=float(config.get("style_mixing_prob", 0.9)),
+        freeze_noise_layers=freeze_layers,
         # config key `compute_dtype: bfloat16` enables mixed-precision
         # training (f32 masters, f32 R1/path-reg)
         compute_dtype=config.get("compute_dtype"),
@@ -250,12 +274,6 @@ def main(args: argparse.Namespace) -> None:
 
     with trace(getattr(args, "profile_dir", None)):
         trainer.train()
-
-
-
-    @property
-    def epoch(self) -> float:
-        return self._loader.epoch
 
 
 def build_parser() -> argparse.ArgumentParser:

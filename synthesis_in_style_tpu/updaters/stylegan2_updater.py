@@ -43,6 +43,13 @@ class StyleGAN2Config:
     mixing_prob: float = 0.9
     path_batch_shrink: int = 2
     ema_decay: float = 0.5 ** (32 / (10 * 1000))
+    # per-layer frozen stochastic noise (reference
+    # stylegan_2_updater.py:35-43, :68-76): layers listed here feed the
+    # stored noise buffer every training forward while the rest re-randomize
+    # per step. Static tuple — part of the compiled graph structure.
+    freeze_noise_layers: Tuple[int, ...] = flax.struct.field(
+        pytree_node=False, default=()
+    )
     # mixed precision: run D/G forward+backward in this dtype (e.g.
     # "bfloat16") with f32 master params/optimizer state; the lazy R1 and
     # path-length double-grad steps stay f32 for accuracy. bf16 shares f32's
@@ -113,11 +120,15 @@ def restore_gan_snapshot(state: GANTrainState, tree) -> GANTrainState:
     train state (reference resume, train_stylegan_2.py:75-77 — the torch
     state dicts carried noise buffers and optimizer moments too)."""
     asarray = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
-    state = state.replace(
-        g_params=asarray(tree["generator"]),
-        d_params=asarray(tree["discriminator"]),
-        g_ema=asarray(tree["g_ema"]),
-    )
+    # partial checkpoints (e.g. converted reference .pt with only g_ema)
+    # restore what they carry, like the reference's key-selecting
+    # load_weights (networks/__init__.py:22-29)
+    if "generator" in tree:
+        state = state.replace(g_params=asarray(tree["generator"]))
+    if "discriminator" in tree:
+        state = state.replace(d_params=asarray(tree["discriminator"]))
+    if "g_ema" in tree:
+        state = state.replace(g_ema=asarray(tree["g_ema"]))
     if "g_noises" in tree:
         state = state.replace(g_noises=asarray(tree["g_noises"]))
     if "generator_optimizer" in tree:
@@ -176,16 +187,30 @@ def make_train_steps(
             return tree
         return cast_floating(tree, compute_dtype)
 
+    def _stochastic_noise(g_noises):
+        """Per-layer noise feed (reference make_stochastic_noise,
+        stylegan_2_updater.py:68-76): frozen layers reuse the stored buffer,
+        the rest get None = re-randomized from the "noise" PRNG stream."""
+        if not cfg.freeze_noise_layers:
+            return None
+        frozen = set(cfg.freeze_noise_layers)
+        return [
+            g_noises[f"noise_{i}"] if i in frozen else None
+            for i in range(gen.num_layers)
+        ]
+
     def _fake_images(g_params, g_noises, rng, batch):
         kz1, kz2, kmix, knoise = jax.random.split(rng, 4)
         dtype = compute_dtype or jnp.float32
         z1 = _shard_hint(jax.random.normal(kz1, (batch, style_dim), dtype))
         z2 = _shard_hint(jax.random.normal(kz2, (batch, style_dim), dtype))
         inject = _sample_inject_index(kmix, cfg.mixing_prob, n_latent)
+        cast_noises = _cast(g_noises)
         img, _ = _mixed_forward(
             gen,
-            {"params": _cast(g_params), "noises": _cast(g_noises)},
+            {"params": _cast(g_params), "noises": cast_noises},
             z1, z2, inject, knoise,
+            noise=_stochastic_noise(cast_noises),
         )
         return img
 
@@ -280,7 +305,11 @@ def make_train_steps(
 
             def synth(lat):
                 img, _ = gen.apply(
-                    g_vars, [lat], input_is_latent=True, rngs={"noise": knoise}
+                    g_vars,
+                    [lat],
+                    input_is_latent=True,
+                    rngs={"noise": knoise},
+                    noise=_stochastic_noise(state.g_noises),
                 )
                 return img
 

@@ -232,6 +232,48 @@ def torch_discriminator_to_flax(
     return {"params": params}
 
 
+def torch_swagan_discriminator_to_flax(
+    state_dict: Dict[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Reference SWAGAN Discriminator state_dict -> flax params for
+    models.swagan.Discriminator. Torch layout: from_rgbs.{i}.conv (1x1
+    ConvLayer), convs.{i}.{conv1,conv2} (ConvBlock, conv2 downsamples),
+    final_conv, final_linear.{0,1} (reference swagan/model.py:329-399);
+    dwt buffers are fixed Haar kernels and carry no parameters."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+
+    n_rgbs = len({k.split(".")[1] for k in sd if k.startswith("from_rgbs.")})
+    for i in range(n_rgbs):
+        params[f"from_rgbs_{i}"] = {
+            "conv": _conv_layer_t2f(f"from_rgbs.{i}.conv", sd,
+                                    downsample=False)
+        }
+    n_blocks = len({k.split(".")[1] for k in sd if k.startswith("convs.")})
+    for i in range(n_blocks):
+        params[f"convs_{i}"] = {
+            "conv1": _conv_layer_t2f(f"convs.{i}.conv1", sd,
+                                     downsample=False),
+            "conv2": _conv_layer_t2f(f"convs.{i}.conv2", sd,
+                                     downsample=True),
+        }
+
+    params["final_conv"] = _conv_layer_t2f("final_conv", sd,
+                                           downsample=False)
+    w0 = np.asarray(sd["final_linear.0.weight"])  # (out, C*16)
+    out_dim, in_dim = w0.shape
+    c = in_dim // 16
+    w0 = w0.reshape(out_dim, c, 4, 4).transpose(0, 2, 3, 1).reshape(
+        out_dim, in_dim
+    )
+    params["final_linear_0"] = {
+        "weight": w0.T,
+        "bias": np.asarray(sd["final_linear.0.bias"]),
+    }
+    params["final_linear_1"] = _lin_t2f("final_linear.1", sd)
+    return {"params": params}
+
+
 def convert_autoencoder_checkpoint(checkpoint: Dict) -> Dict:
     """Split a legacy `autoencoder` state dict into `encoder` / `decoder`
     sub-dicts, stripping DDP `module.` prefixes (reference
@@ -621,6 +663,31 @@ def load_torch_checkpoint(path: Union[str, Path]) -> Dict[str, Dict[str, np.ndar
                 for k, v in sub.items()
             }
     return out
+
+
+def gan_snapshot_tree_from_torch(
+    torch_ckpt: Dict[str, Dict[str, np.ndarray]],
+    stylegan_variant: Union[int, str] = 2,
+) -> Dict[str, Any]:
+    """Reference GAN .pt checkpoint (keys generator/discriminator/g_ema,
+    reference train_stylegan_2.py:75-77 + Snapshotter layout) -> our
+    snapshot-tree layout for restore_gan_snapshot. Only the keys present in
+    the torch checkpoint appear in the result (reference load_weights
+    key-selects, networks/__init__.py:22-29)."""
+    tree: Dict[str, Any] = {}
+    for src, dst in (("generator", "generator"), ("g_ema", "g_ema")):
+        if src in torch_ckpt:
+            g = torch_generator_to_flax(torch_ckpt[src])
+            tree[dst] = g["params"]
+            if "noises" in g and "g_noises" not in tree:
+                tree["g_noises"] = g["noises"]
+    if "discriminator" in torch_ckpt:
+        if str(stylegan_variant) == "swagan":
+            d = torch_swagan_discriminator_to_flax(torch_ckpt["discriminator"])
+        else:
+            d = torch_discriminator_to_flax(torch_ckpt["discriminator"])
+        tree["discriminator"] = d["params"]
+    return tree
 
 
 def load_generator_variables(

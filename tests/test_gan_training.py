@@ -182,3 +182,53 @@ def test_ema_accumulates_after_path_regularization():
         1 - cfg.ema_decay
     ) * np.asarray(leaf)
     np.testing.assert_allclose(np.asarray(ema_leaf), expected, rtol=1e-5)
+
+
+def test_frozen_stochastic_noise_layers(setup):
+    """Per-layer frozen noise (reference stylegan_2_updater.py:35-43,
+    :68-76): a frozen layer feeds its stored buffer every training forward
+    (so perturbing the buffer changes the fakes), an unfrozen layer
+    re-randomizes (so its buffer is ignored)."""
+    import flax
+
+    gen, disc, g_tx, d_tx, state, steps_free = setup
+    real = _real_batch(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(11)
+
+    # NoiseInjection weights init to zero (reference model.py:283) — the
+    # noise path is dead at fresh init, so turn it on for this test
+    flat = flax.traverse_util.flatten_dict(state.g_params)
+    flat = {
+        k: jnp.ones_like(v) if k[-2:] == ("noise", "weight") else v
+        for k, v in flat.items()
+    }
+    state = state.replace(g_params=flax.traverse_util.unflatten_dict(flat))
+
+    def perturbed(st, name):
+        noises = dict(st.g_noises)
+        noises[name] = noises[name] + 10.0
+        return st.replace(g_noises=noises)
+
+    # freeze only layer 0
+    cfg = StyleGAN2Config(freeze_noise_layers=(0,))
+    steps = make_train_steps(gen, disc, g_tx, d_tx, cfg, BATCH, donate=False)
+
+    _, base = steps["d_step"](state, real, rng)
+    _, bumped_frozen = steps["d_step"](perturbed(state, "noise_0"), real, rng)
+    _, bumped_free = steps["d_step"](perturbed(state, "noise_2"), real, rng)
+
+    # frozen layer's buffer is live in the graph
+    assert float(base["fake_score"]) != float(bumped_frozen["fake_score"])
+    # unfrozen layer's buffer is NOT fed (fresh randomization each step)
+    assert float(base["fake_score"]) == float(bumped_free["fake_score"])
+
+    # with no freeze list, no buffer is fed at all
+    _, free_base = steps_free["d_step"](state, real, rng)
+    _, free_bumped = steps_free["d_step"](perturbed(state, "noise_0"), real, rng)
+    assert float(free_base["fake_score"]) == float(free_bumped["fake_score"])
+
+    # the G and path-reg steps also honor the freeze list (compile + run)
+    st, m = steps["g_step"](state, rng)
+    assert np.isfinite(float(m["generator_loss"]))
+    _, m = steps["g_reg_step"](st, rng)
+    assert np.isfinite(float(m["path_loss"]))

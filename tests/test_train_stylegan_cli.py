@@ -113,3 +113,91 @@ def test_gan_train_cli(tmp_path):
         randomize_noise=False,
     )
     assert img.shape == (1, 32, 32, 3)
+
+
+def test_gan_train_cli_resumes_from_reference_pt(tmp_path):
+    """--resume-ckpt with a reference-layout torch .pt (reference
+    train_stylegan_2.py:75-77): weights convert + load, training proceeds."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from reference_loader import REFERENCE, load_reference_stylegan
+
+    if not REFERENCE.exists():
+        pytest.skip("reference repo not mounted")
+
+    ref_mod = load_reference_stylegan("stylegan2")
+    torch.manual_seed(0)
+    ref_gen = ref_mod.Generator(32, 32, 2, channel_multiplier=1)
+    ref_disc = ref_mod.Discriminator(32, channel_multiplier=1)
+    ref_ema = ref_mod.Generator(32, 32, 2, channel_multiplier=1)
+    ckpt_path = tmp_path / "reference.pt"
+    torch.save(
+        {
+            "generator": ref_gen.state_dict(),
+            "discriminator": ref_disc.state_dict(),
+            "g_ema": ref_ema.state_dict(),
+        },
+        ckpt_path,
+    )
+
+    # the converted g_ema actually lands in the train state
+    import jax
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.models.factory import get_discriminator, get_generator
+    from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+        create_gan_train_state,
+        restore_gan_snapshot,
+    )
+    from synthesis_in_style_tpu.utils.checkpoint import (
+        gan_snapshot_tree_from_torch,
+        load_torch_checkpoint,
+        torch_generator_to_flax,
+    )
+
+    config = {
+        "image_size": 32, "latent_size": 32, "n_mlp": 2,
+        "channel_multiplier": 1, "stylegan_variant": 2,
+    }
+    gen = get_generator(config)
+    disc = get_discriminator(config)
+    import optax
+
+    state = create_gan_train_state(
+        gen, disc, jax.random.PRNGKey(0), 32,
+        optax.adam(1e-3), optax.adam(1e-3),
+    )
+    tree = gan_snapshot_tree_from_torch(load_torch_checkpoint(ckpt_path))
+    resumed = restore_gan_snapshot(state, tree)
+    expected = torch_generator_to_flax(
+        {k: v.numpy() for k, v in ref_ema.state_dict().items()}
+    )
+    for ours, theirs in zip(
+        jax.tree_util.tree_leaves(resumed.g_ema),
+        jax.tree_util.tree_leaves(expected["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs))
+
+    # end-to-end: CLI trains from the .pt without error
+    train_json = _make_dataset(tmp_path)
+    config.update({
+        "batch_size": 2, "lr": 2e-3, "max_iter": 2,
+        "snapshot_save_iter": 2, "image_save_iter": 2, "log_iter": 1,
+        "num_workers": 1, "style_mixing_prob": 0.9,
+        "regularization": {"g_interval": 2, "d_interval": 2,
+                           "r1_weight": 10, "path_reg_weight": 2},
+    })
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(yaml.dump(config))
+    log_dir = tmp_path / "logs_pt_resume"
+    args = gan_cli.build_parser().parse_args(
+        [str(config_path), "--images", str(train_json), "--debug",
+         "--resume-ckpt", str(ckpt_path)]
+    )
+    args.log_dir = str(log_dir)
+    gan_cli.main(args)
+    assert latest_snapshot(log_dir / "checkpoints") is not None
