@@ -8,6 +8,7 @@ the reference's DENOISING_VARIANCES list)."""
 
 from __future__ import annotations
 
+import itertools
 import threading
 from typing import Dict
 
@@ -30,17 +31,20 @@ class AutoencoderDataset(JSONDataset):
         self.image_size = image_size
         self.num_channels = num_channels
         # numpy Generators are not thread-safe and the DataLoader fetches
-        # samples on a thread pool — give each worker thread its own stream
+        # samples on a thread pool — give each worker thread its own stream,
+        # seeded from a stable first-use counter (NOT the OS thread id,
+        # which differs run-to-run and would break reproducibility; torch
+        # seeds workers as base_seed + worker_id the same way)
         self._seed = seed
         self._local = threading.local()
+        self._worker_counter = itertools.count()
 
     @property
     def _rng(self) -> np.random.Generator:
         rng = getattr(self._local, "rng", None)
         if rng is None:
-            rng = np.random.default_rng(
-                (self._seed, threading.get_ident())
-            )
+            worker_id = next(self._worker_counter)
+            rng = np.random.default_rng((self._seed, worker_id))
             self._local.rng = rng
         return rng
 

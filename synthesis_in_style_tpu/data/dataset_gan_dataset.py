@@ -25,6 +25,7 @@ The reference's 14 hardcoded per-layer torch Upsample modules
 
 from __future__ import annotations
 
+import itertools
 import json
 import threading
 from pathlib import Path
@@ -71,8 +72,11 @@ class BaseDatasetGANDataset:
         self.loader = loader
         self.seed = seed
         # thread-local streams: the DataLoader fetches samples on a thread
-        # pool and numpy Generators are not thread-safe
+        # pool and numpy Generators are not thread-safe; seeded from a
+        # stable first-use counter so runs reproduce (OS thread ids differ
+        # run-to-run)
         self._local = threading.local()
+        self._worker_counter = itertools.count()
 
         if isinstance(class_probabilities, float):
             self.class_probabilities = [class_probabilities, 1 - class_probabilities]
@@ -91,7 +95,8 @@ class BaseDatasetGANDataset:
     def _rng(self) -> np.random.Generator:
         rng = getattr(self._local, "rng", None)
         if rng is None:
-            rng = np.random.default_rng((self.seed, threading.get_ident()))
+            worker_id = next(self._worker_counter)
+            rng = np.random.default_rng((self.seed, worker_id))
             self._local.rng = rng
         return rng
 

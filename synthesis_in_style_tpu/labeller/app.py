@@ -69,9 +69,38 @@ class Labeller:
 
     def _load_label_arrays(self):
         path = self.base_dir / "cluster_labels" / f"{self.num_clusters}.npz"
-        npz = np.load(str(path))
-        layer_ids = list(npz.files)
-        return [npz[name] for name in layer_ids], layer_ids
+        if path.exists():
+            npz = np.load(str(path))
+            layer_ids = list(npz.files)
+            return [npz[name] for name in layer_ids], layer_ids
+        legacy = self.base_dir / "catalogs" / f"{self.num_clusters}.pkl"
+        if legacy.exists():
+            return self._load_legacy_label_arrays(legacy)
+        raise FileNotFoundError(
+            f"neither {path} nor {legacy} exists — run "
+            "cli/create_semantic_segmentation first (or point --base-dir at "
+            "a reference-era semantic_segmentation directory)"
+        )
+
+    def _load_legacy_label_arrays(self, pkl_path: Path):
+        """Reference-era artifacts: per-layer pickled estimators whose
+        `labels_` reshape to (N, H, W) of the matching cluster array
+        (reference semantic_labeller/app.py:99-119)."""
+        from synthesis_in_style_tpu.segmentation.factor_catalog import (
+            load_legacy_pickle,
+        )
+
+        catalogs = load_legacy_pickle(pkl_path)
+        catalogs.pop("id_to_size_map", None)
+        layer_ids = [str(k) for k in catalogs.keys()]
+        labels = []
+        for (layer_id, catalog), array in zip(catalogs.items(), self.arrays):
+            est = getattr(catalog, "_factorization", catalog)
+            n, _, h, w = array.shape
+            labels.append(
+                np.asarray(est.labels_).reshape(n, h, w).astype(np.int32)
+            )
+        return labels, layer_ids
 
     @staticmethod
     def _load_class_colors(class_colors: Path) -> dict:

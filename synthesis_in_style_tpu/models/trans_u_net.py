@@ -102,6 +102,25 @@ def get_r50_l16_config() -> Dict[str, Any]:
     return config
 
 
+def get_h14_config() -> Dict[str, Any]:
+    """ViT-H/14 (reference vit_seg_configs.py:118-132). The reference's
+    entry carries only the raw ViT fields (classifier 'token', no decoder
+    keys) and would KeyError inside its own DecoderCup; we keep the ViT
+    fields faithful and add the standard decoder defaults so the config is
+    actually trainable here."""
+    config = get_b16_config()
+    config["patches"] = {"size": (14, 14)}
+    config["hidden_size"] = 1280
+    config["transformer"] = {
+        "mlp_dim": 5120,
+        "num_heads": 16,
+        "num_layers": 32,
+        "attention_dropout_rate": 0.0,
+        "dropout_rate": 0.1,
+    }
+    return config
+
+
 def get_testing_config() -> Dict[str, Any]:
     config = get_b16_config()
     config["hidden_size"] = 16
@@ -121,6 +140,7 @@ VIT_CONFIGS = {
     "ViT-B_32": get_b32_config,
     "ViT-L_16": get_l16_config,
     "ViT-L_32": get_l32_config,
+    "ViT-H_14": get_h14_config,
     "R50-ViT-B_16": get_r50_b16_config,
     "R50-ViT-L_16": get_r50_l16_config,
     "testing": get_testing_config,

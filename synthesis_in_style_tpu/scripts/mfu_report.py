@@ -1,0 +1,236 @@
+"""Per-step FLOPs + MFU accounting for every training path.
+
+The reference publishes no performance numbers at all (SURVEY.md §6); this
+tool produces the FLOPs/step, steps/s, achieved TFLOP/s and %-of-peak table
+that MEASUREMENTS.md cites, answering "fast or just correct?" for the
+training half of the workload (VERDICT r1 weak #1).
+
+FLOPs come from XLA's cost model on the lowered step
+(`jit(f).lower(...).compile().cost_analysis()["flops"]`) — an arithmetic
+count independent of the executing backend, so it can be extracted on the
+CPU backend (fast) and combined with step timings measured on the chip.
+
+Usage (two phases because the platform choice is process-global):
+  JAX_PLATFORMS=cpu python -m synthesis_in_style_tpu.scripts.mfu_report \
+      flops /tmp/mfu.json [--workloads gan,docufcn]
+  python -m synthesis_in_style_tpu.scripts.mfu_report \
+      time /tmp/mfu.json [--steps 20]    # on the TPU
+  python -m synthesis_in_style_tpu.scripts.mfu_report report /tmp/mfu.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# TPU v5e (v5 lite) bf16 matrix peak per chip.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+# ---------------------------------------------------------------------------
+# workload definitions — production configs (reference workload sizes,
+# BASELINE.md: GAN 256px b24; seg 256px b8)
+# ---------------------------------------------------------------------------
+
+def _gan_steps() -> Dict[str, Tuple[Callable, tuple]]:
+    from synthesis_in_style_tpu.models.stylegan2 import (
+        Discriminator,
+        Generator,
+    )
+    from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+        StyleGAN2Config,
+        create_gan_train_state,
+        make_train_steps,
+    )
+
+    size, batch = 256, 24
+    gen = Generator(size=size, style_dim=512, n_mlp=8)
+    disc = Discriminator(size=size)
+    tx = optax.adam(2e-3, b1=0.0, b2=0.99)
+    state = create_gan_train_state(
+        gen, disc, jax.random.PRNGKey(0), size, tx, tx
+    )
+    steps = make_train_steps(
+        gen, disc, tx, tx,
+        StyleGAN2Config(compute_dtype="bfloat16"),
+        batch, donate=False,
+    )
+    real = jnp.zeros((batch, size, size, 3), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    return {
+        f"gan/{name}@{size}px/b{batch}/bf16": (fn, args)
+        for name, fn, args in [
+            ("d_step", steps["d_step"], (state, real, rng)),
+            ("g_step", steps["g_step"], (state, rng)),
+            ("d_reg_step(r1)", steps["d_reg_step"], (state, real)),
+            ("g_reg_step(path)", steps["g_reg_step"], (state, rng)),
+        ]
+    }
+
+
+def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
+    from synthesis_in_style_tpu.updaters.segmentation_updater import (
+        create_seg_train_state,
+        make_emanet_train_step,
+        make_standard_train_step,
+        make_transunet_train_step,
+    )
+
+    size, batch, classes = 256, 8, 3
+    tx = optax.adam(1e-3)
+    rng = jax.random.PRNGKey(1)
+    batch_data = {
+        "images": jnp.zeros((batch, size, size, 3), jnp.float32),
+        "segmented": jnp.zeros((batch, size, size), jnp.int32),
+    }
+
+    if which == "docufcn":
+        from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
+
+        model = DocUFCN(num_classes=classes)
+        state = create_seg_train_state(model, jax.random.PRNGKey(0), size, tx)
+        step = make_standard_train_step(
+            model, tx, donate=False, compute_dtype="bfloat16"
+        )
+        name = f"seg/docufcn@{size}px/b{batch}/bf16"
+    elif which == "emanet":
+        from synthesis_in_style_tpu.models.ema_net import EMANet
+
+        model = EMANet(num_classes=classes, n_layers=50, stride=8)
+        state = create_seg_train_state(
+            model, jax.random.PRNGKey(0), size, tx,
+            extra=model.init_mu(seed=0),
+        )
+        step = make_emanet_train_step(
+            model, tx, em_mom=0.9, donate=False, compute_dtype="bfloat16"
+        )
+        name = f"seg/emanet-r50@{size}px/b{batch}/bf16"
+    elif which == "transunet":
+        from synthesis_in_style_tpu.models.trans_u_net import (
+            VIT_CONFIGS,
+            VisionTransformer,
+        )
+
+        cfg = VIT_CONFIGS["R50-ViT-B_16"]()
+        cfg["n_classes"] = classes
+        cfg["n_skip"] = 3
+        cfg["patches"]["grid"] = (size // 16, size // 16)
+        model = VisionTransformer(
+            config=cfg, img_size=size, num_classes=classes
+        )
+        state = create_seg_train_state(model, jax.random.PRNGKey(0), size, tx)
+        step = make_transunet_train_step(
+            model, tx, num_classes=classes, donate=False,
+            compute_dtype="bfloat16",
+        )
+        name = f"seg/transunet-r50vitb16@{size}px/b{batch}/bf16"
+    else:
+        raise ValueError(which)
+    return {name: (step, (state, batch_data, rng))}
+
+
+def build_workloads(names) -> Dict[str, Tuple[Callable, tuple]]:
+    out: Dict[str, Tuple[Callable, tuple]] = {}
+    for n in names:
+        if n == "gan":
+            out.update(_gan_steps())
+        else:
+            out.update(_seg_steps(n))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# phases
+# ---------------------------------------------------------------------------
+
+def phase_flops(out_path: Path, names) -> None:
+    record = {}
+    if out_path.exists():
+        record = json.loads(out_path.read_text())
+    for name, (fn, args) in build_workloads(names).items():
+        lowered = fn.lower(*args)
+        analyses = lowered.cost_analysis()
+        if analyses is None:  # some backends only analyze post-compile
+            analyses = lowered.compile().cost_analysis()
+        # cost_analysis returns one dict (new jax) or a per-device list
+        ca = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+        flops = float(ca["flops"])
+        record.setdefault(name, {})["flops"] = flops
+        print(f"{name}: {flops / 1e9:.1f} GFLOP/step")
+    out_path.write_text(json.dumps(record, indent=2))
+
+
+def phase_time(out_path: Path, names, n_steps: int) -> None:
+    import time
+
+    record = json.loads(out_path.read_text()) if out_path.exists() else {}
+    for name, (fn, args) in build_workloads(names).items():
+        state = args[0]
+        rest = args[1:]
+        # warm up (compile) and reach steady state
+        state, m = fn(state, *rest)
+        jax.tree_util.tree_map(np.asarray, m)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, m = fn(state, *rest)
+        # force completion by fetching a metric scalar (block_until_ready is
+        # unreliable over the relay)
+        jax.tree_util.tree_map(np.asarray, m)
+        dt = (time.perf_counter() - t0) / n_steps
+        record.setdefault(name, {})["seconds_per_step"] = dt
+        print(f"{name}: {dt * 1e3:.1f} ms/step")
+    out_path.write_text(json.dumps(record, indent=2))
+
+
+def phase_report(out_path: Path) -> None:
+    record = json.loads(out_path.read_text())
+    print(
+        "| step | GFLOP/step | ms/step | TFLOP/s | % of v5e bf16 peak |"
+    )
+    print("|---|---|---|---|---|")
+    for name, row in record.items():
+        flops = row.get("flops")
+        dt = row.get("seconds_per_step")
+        if flops is None or dt is None:
+            print(f"| {name} | (incomplete) | | | |")
+            continue
+        tflops = flops / dt / 1e12
+        pct = 100.0 * tflops / V5E_BF16_PEAK_TFLOPS
+        print(
+            f"| {name} | {flops / 1e9:.1f} | {dt * 1e3:.1f} "
+            f"| {tflops:.1f} | {pct:.0f}% |"
+        )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("phase", choices=["flops", "time", "report"])
+    parser.add_argument("out", type=Path)
+    parser.add_argument(
+        "--workloads",
+        default="gan,docufcn,emanet,transunet",
+        help="comma-separated: gan, docufcn, emanet, transunet",
+    )
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+    names = [w for w in args.workloads.split(",") if w]
+    if args.phase == "flops":
+        # FLOPs are backend-independent; force CPU so the axon sitecustomize
+        # default doesn't pull the extraction through the remote relay
+        jax.config.update("jax_platforms", "cpu")
+        phase_flops(args.out, names)
+    elif args.phase == "time":
+        phase_time(args.out, names, args.steps)
+    else:
+        phase_report(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,21 +91,27 @@ def load_catalogs(path: Union[str, Path]) -> Dict[str, FactorCatalog]:
     return catalogs
 
 
-def convert_legacy_catalog(
-    pkl_path: Union[str, Path], out_path: Union[str, Path]
-) -> Dict[str, FactorCatalog]:
-    """Convert a reference `catalogs/<k>.pkl` (pickled sklearn estimators,
-    loaded under a module shim like base_cluster_based_dataset_segmenter.py:48-53)
-    to the neutral npz format. Requires the pickle to be loadable (torch +
-    sklearn present, which this image has)."""
+def load_legacy_pickle(pkl_path: Union[str, Path]) -> Dict:
+    """Unpickle a reference `catalogs/<k>.pkl` under module shims for the
+    module paths reference pickles carry (`gan_local_edit.*` for legacy ones
+    and `segmentation.gan_local_edit.*` for current ones — reference
+    base_cluster_based_dataset_segmenter.py:48-53,
+    semantic_labeller/app.py:103-112). Returns the raw {layer_id: catalog}
+    dict (plus `id_to_size_map` if present). Requires the pickle to be
+    loadable (torch + sklearn present, which this image has)."""
     import pickle
     import sys
     import types
 
-    # legacy pickles reference a top-level `gan_local_edit` module path
-    shim = types.ModuleType("gan_local_edit")
-    shim_spherical = types.ModuleType("gan_local_edit.spherical_kmeans")
-    shim_factor = types.ModuleType("gan_local_edit.factor_catalog")
+    modules = {}
+    for root in ("gan_local_edit", "segmentation.gan_local_edit"):
+        for leaf in ("", ".spherical_kmeans", ".factor_catalog", ".ptutils"):
+            name = root + leaf
+            parts = name.split(".")
+            for d in range(1, len(parts) + 1):
+                p = ".".join(parts[:d])
+                if p not in modules and p not in sys.modules:
+                    modules[p] = types.ModuleType(p)
 
     class _LegacyKMeans:  # minimal unpickle target
         pass
@@ -113,19 +119,35 @@ def convert_legacy_catalog(
     class _LegacyCatalog:
         pass
 
-    shim_spherical.MiniBatchSphericalKMeans = _LegacyKMeans
-    shim_factor.FactorCatalog = _LegacyCatalog
-    shim.spherical_kmeans = shim_spherical
-    shim.factor_catalog = shim_factor
-    for name, mod in [
-        ("gan_local_edit", shim),
-        ("gan_local_edit.spherical_kmeans", shim_spherical),
-        ("gan_local_edit.factor_catalog", shim_factor),
-    ]:
+    class _LegacyStore:
+        pass
+
+    for name, mod in modules.items():
+        if name.endswith("spherical_kmeans"):
+            mod.MiniBatchSphericalKMeans = _LegacyKMeans
+        elif name.endswith("factor_catalog"):
+            mod.FactorCatalog = _LegacyCatalog
+        elif name.endswith("ptutils"):
+            mod.MultiResolutionStore = _LegacyStore
         sys.modules.setdefault(name, mod)
+    # link children onto parents for `from x import y`-style pickles
+    for name in list(modules):
+        if "." in name:
+            parent, leaf = name.rsplit(".", 1)
+            setattr(sys.modules[parent], leaf, sys.modules[name])
 
     with open(pkl_path, "rb") as f:
-        legacy = pickle.load(f)
+        return pickle.load(f)
+
+
+def convert_legacy_catalog(
+    pkl_path: Union[str, Path], out_path: Union[str, Path]
+) -> Dict[str, FactorCatalog]:
+    """Convert a reference `catalogs/<k>.pkl` (pickled sklearn estimators,
+    loaded under a module shim like base_cluster_based_dataset_segmenter.py:48-53)
+    to the neutral npz format."""
+    legacy = load_legacy_pickle(pkl_path)
+    legacy.pop("id_to_size_map", None)
 
     catalogs: Dict[str, FactorCatalog] = {}
     for layer_id, legacy_catalog in legacy.items():

@@ -4,9 +4,19 @@ Capability parity with the reference's sklearn-0.24-private-API subclass
 (/root/reference/stylegan_code_finder/segmentation/gan_local_edit/spherical_kmeans.py):
 L2-normalize the data and the centers at every step, assign by cosine
 similarity (== euclidean on normalized vectors), update centers with
-per-center 1/count learning rates. Fit runs entirely on device: the
-assignment is one (B, D) @ (D, K) matmul on the MXU; the update is a one-hot
-segment-sum, so a full pass over N*H*W pixel features never leaves HBM.
+per-center 1/count learning rates, periodically reassign starved centers to
+random batch samples (spherical_kmeans.py:92-120 via sklearn's
+reassignment_ratio), and stop early when the EWA of the batch inertia makes
+no improvement for `max_no_improvement` consecutive batches (sklearn 0.24
+_mini_batch_convergence semantics, which the reference inherits).
+
+TPU-first design: one epoch = one `lax.scan` over minibatches, entirely on
+device — the assignment is one (B, D) @ (D, K) matmul on the MXU, the update
+a one-hot segment-sum, and reassignment a masked gather. The scan emits
+per-batch (inertia, squared-diff, centers, counts) traces so the host can
+apply the exact per-batch stopping rule with ONE device sync per epoch
+instead of one per batch (the relay makes per-batch syncs ~1000x the step
+cost).
 
 Prediction (`assign`) matches FactorCatalog.pairwise_distance
 (factor_catalog.py:47-62): plain euclidean argmin against the stored centers
@@ -21,6 +31,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
@@ -33,24 +44,142 @@ def _init_centers(x: jnp.ndarray, key: jax.Array, k: int) -> jnp.ndarray:
     return _l2_normalize(x[idx])
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _kmeanspp_init(x: jnp.ndarray, key: jax.Array, k: int) -> jnp.ndarray:
+    """k-means++ D^2-sampling init on (already normalized) samples — the
+    init the reference inherits from sklearn MiniBatchKMeans (init size and
+    best-of-n_init selection happen in fit)."""
+    m = x.shape[0]
+    k0, key = jax.random.split(key)
+    first = x[jax.random.randint(k0, (), 0, m)]
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
+    d2_0 = jnp.sum(jnp.square(x - first), axis=1)
+
+    def body(carry, i):
+        centers, d2, key = carry
+        key, kc = jax.random.split(key)
+        idx = jax.random.categorical(kc, jnp.log(jnp.maximum(d2, 1e-12)))
+        c = x[idx]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum(jnp.square(x - c), axis=1))
+        return (centers, d2, key), None
+
+    (centers, _, _), _ = lax.scan(
+        body, (centers0, d2_0, key), jnp.arange(1, k)
+    )
+    return centers
+
+
 @jax.jit
+def _spherical_inertia(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    sims = x @ centers.T
+    return jnp.sum(2.0 - 2.0 * jnp.max(sims, axis=1))
+
+
+def _reassign_starved(
+    centers: jnp.ndarray,  # (K, D)
+    counts: jnp.ndarray,  # (K,)
+    xb: jnp.ndarray,  # (B, D) normalized batch
+    key: jax.Array,
+    reassignment_ratio: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Move centers whose accumulated weight is < ratio * max(weight) onto
+    random batch samples; reset their counts to the minimum surviving count
+    (sklearn 0.24 _mini_batch_step reassignment, inherited by the reference
+    spherical_kmeans.py:92-120). At most floor(B/2) centers move per call."""
+    k = centers.shape[0]
+    to_reassign = counts < reassignment_ratio * jnp.max(counts)
+    # cap: keep only the lowest-count centers if more than B/2 are starved
+    cap = xb.shape[0] // 2
+    rank = jnp.argsort(jnp.argsort(counts))  # rank 0 = smallest count
+    to_reassign = jnp.logical_and(to_reassign, rank < cap)
+
+    new_idx = jax.random.choice(
+        key, xb.shape[0], (k,), replace=k > xb.shape[0]
+    )
+    centers = jnp.where(to_reassign[:, None], xb[new_idx], centers)
+    # reset counts "but don't reset them too small to avoid instant
+    # reassignment" — sklearn uses min over the non-reassigned centers
+    surviving_min = jnp.min(jnp.where(to_reassign, jnp.inf, counts))
+    surviving_min = jnp.where(jnp.isfinite(surviving_min), surviving_min, 0.0)
+    counts = jnp.where(to_reassign, surviving_min.astype(counts.dtype), counts)
+    return centers, counts
+
+
 def _minibatch_step(
     centers: jnp.ndarray,  # (K, D), unit norm
     counts: jnp.ndarray,  # (K,)
     batch: jnp.ndarray,  # (B, D)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    do_reassign: jnp.ndarray,  # () bool
+    key: jax.Array,
+    reassignment_ratio: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One sklearn-0.24-semantics minibatch step: assign -> (reassign
+    starved) -> incremental per-center mean -> renormalize. Returns
+    (centers, counts, batch_inertia, squared_center_diff)."""
     xb = _l2_normalize(batch)
     sims = xb @ centers.T  # cosine similarity
     assign = jnp.argmax(sims, axis=1)
+    # inertia on normalized vectors: ||x - c||^2 = 2 - 2 * cos_sim
+    inertia = jnp.sum(2.0 - 2.0 * jnp.max(sims, axis=1))
+
+    re_centers, re_counts = _reassign_starved(
+        centers, counts, xb, key, reassignment_ratio
+    )
+    centers = jnp.where(do_reassign, re_centers, centers)
+    counts = jnp.where(do_reassign, re_counts, counts)
+    old_centers = centers
+
     onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=xb.dtype)  # (B, K)
     batch_counts = jnp.sum(onehot, axis=0)  # (K,)
     batch_sums = onehot.T @ xb  # (K, D)
     new_counts = counts + batch_counts
-    # incremental mean: c <- c + (sum_x - n_b * c) / count, skip empty centers
+    # incremental mean then renormalize — same direction as sklearn's
+    # (center * old_count + batch_sum) followed by normalize
     safe_counts = jnp.maximum(new_counts, 1.0)
-    centers = centers + (batch_sums - batch_counts[:, None] * centers) / safe_counts[:, None]
-    centers = _l2_normalize(centers)
-    return centers, new_counts
+    updated = centers + (batch_sums - batch_counts[:, None] * centers) / safe_counts[:, None]
+    updated = _l2_normalize(updated)
+    # empty centers stay put (sklearn skips wsum == 0)
+    centers = jnp.where(batch_counts[:, None] > 0, updated, centers)
+    squared_diff = jnp.sum(jnp.square(centers - old_centers))
+    return centers, new_counts, inertia, squared_diff
+
+
+@partial(jax.jit, static_argnames=("bs", "reassign_every"))
+def _fit_epoch(
+    x: jnp.ndarray,
+    perm: jnp.ndarray,  # (steps * bs,) sample indices
+    centers: jnp.ndarray,
+    counts: jnp.ndarray,
+    key: jax.Array,
+    step_offset: jnp.ndarray,  # () int32, global batch counter
+    reassignment_ratio: float,
+    *,
+    bs: int,
+    reassign_every: int,
+):
+    """One epoch as a device-side scan; emits per-batch traces for the
+    host-side convergence rule."""
+    steps = perm.shape[0] // bs
+
+    def body(carry, s):
+        centers, counts = carry
+        idx = lax.dynamic_slice(perm, (s * bs,), (bs,))
+        batch = x[idx]
+        g = step_offset + s
+        do_reassign = jnp.logical_and(
+            reassignment_ratio > 0, (g + 1) % reassign_every == 0
+        )
+        centers, counts, inertia, sq_diff = _minibatch_step(
+            centers, counts, batch, do_reassign,
+            jax.random.fold_in(key, s), reassignment_ratio,
+        )
+        return (centers, counts), (inertia, sq_diff, centers, counts)
+
+    (centers, counts), traces = lax.scan(
+        body, (centers, counts), jnp.arange(steps)
+    )
+    return centers, counts, traces
 
 
 @jax.jit
@@ -63,40 +192,122 @@ def assign_euclidean(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
 
 
 class MiniBatchSphericalKMeans:
-    """Functional-core, object-shell k-means estimator."""
+    """Functional-core, object-shell k-means estimator.
 
-    def __init__(self, n_clusters: int, batch_size: int = 16384, n_epochs: int = 3,
-                 seed: int = 0):
+    `n_epochs` is a cap, not a fixed schedule: fit stops early when the
+    exponentially-weighted batch inertia stops improving for
+    `max_no_improvement` consecutive batches or (with `tol` > 0) when the
+    per-batch center movement falls below tol — the sklearn 0.24
+    MiniBatchKMeans convergence rule the reference inherits.
+    """
+
+    def __init__(
+        self,
+        n_clusters: int,
+        batch_size: int = 16384,
+        n_epochs: int = 3,
+        seed: int = 0,
+        reassignment_ratio: float = 0.01,
+        reassign_every: int = 10,
+        max_no_improvement: int = 10,
+        tol: float = 0.0,
+        n_init: int = 3,
+    ):
         self.n_clusters = n_clusters
         self.batch_size = batch_size
         self.n_epochs = n_epochs
         self.seed = seed
+        self.n_init = n_init
+        self.reassignment_ratio = reassignment_ratio
+        self.reassign_every = reassign_every
+        self.max_no_improvement = max_no_improvement
+        self.tol = tol
         self.cluster_centers_: Optional[np.ndarray] = None
         self._counts: Optional[np.ndarray] = None
+        self.n_steps_: int = 0
 
     def fit(self, x) -> "MiniBatchSphericalKMeans":
         x = jnp.asarray(x)
         n = x.shape[0]
         key = jax.random.PRNGKey(self.seed)
-        k_init, key = jax.random.split(key)
-        centers = _init_centers(x, k_init, self.n_clusters)
-        counts = jnp.zeros((self.n_clusters,), x.dtype)
-
         bs = min(self.batch_size, n)
+
+        # k-means++ on a 3*batch_size subsample, best of n_init candidates
+        # by inertia on that subsample (sklearn MiniBatchKMeans init
+        # protocol, inherited by the reference)
+        k_sub, k_init, key = jax.random.split(key, 3)
+        init_size = min(3 * bs, n)
+        sub = _l2_normalize(
+            x[jax.random.choice(k_sub, n, (init_size,), replace=False)]
+        )
+        centers = None
+        best_inertia = None
+        for trial in range(max(1, self.n_init)):
+            cand = _l2_normalize(
+                _kmeanspp_init(sub, jax.random.fold_in(k_init, trial),
+                               self.n_clusters)
+            )
+            cand_inertia = float(_spherical_inertia(sub, cand))
+            if best_inertia is None or cand_inertia < best_inertia:
+                best_inertia = cand_inertia
+                centers = cand
+        counts = jnp.zeros((self.n_clusters,), jnp.float32)
         # ceil so the permutation tail is never dropped; the last batch wraps
         # to the head of the SAME permutation to keep the batch shape static
         # (a handful of head samples count twice in that epoch)
         steps_per_epoch = -(-n // bs)
+
+        # host-side EWA convergence state (sklearn _mini_batch_convergence)
+        alpha = min(float(bs) * 2.0 / (n + 1), 1.0)
+        ewa_inertia: Optional[float] = None
+        ewa_min: Optional[float] = None
+        no_improvement = 0
+        global_step = 0
+
         for epoch in range(self.n_epochs):
-            key, k_perm = jax.random.split(key)
+            key, k_perm, k_steps = jax.random.split(key, 3)
             perm = jax.random.permutation(k_perm, n)
+            perm = jnp.concatenate(
+                [perm, perm[: steps_per_epoch * bs - n]]
+            )
+            centers, counts, traces = _fit_epoch(
+                x, perm, centers, counts, k_steps,
+                jnp.int32(global_step), self.reassignment_ratio,
+                bs=bs, reassign_every=self.reassign_every,
+            )
+            inertias, sq_diffs, centers_tr, counts_tr = (
+                np.asarray(traces[0]), np.asarray(traces[1]),
+                traces[2], traces[3],
+            )
+            # exact per-batch stopping rule, applied from the epoch trace
             for s in range(steps_per_epoch):
-                idx = jnp.arange(s * bs, (s + 1) * bs) % n
-                batch = x[perm[idx]]
-                centers, counts = _minibatch_step(centers, counts, batch)
+                global_step += 1
+                batch_inertia = float(inertias[s]) / bs
+                if self.tol > 0 and float(sq_diffs[s]) / bs <= self.tol:
+                    self._finish(centers_tr[s], counts_tr[s], global_step)
+                    return self
+                if ewa_inertia is None:
+                    ewa_inertia = batch_inertia
+                else:
+                    ewa_inertia = ewa_inertia * (1 - alpha) + batch_inertia * alpha
+                if ewa_min is None or ewa_inertia < ewa_min:
+                    ewa_min = ewa_inertia
+                    no_improvement = 0
+                else:
+                    no_improvement += 1
+                if (
+                    self.max_no_improvement is not None
+                    and no_improvement >= self.max_no_improvement
+                ):
+                    self._finish(centers_tr[s], counts_tr[s], global_step)
+                    return self
+        self._finish(centers, counts, global_step)
+        return self
+
+    def _finish(self, centers, counts, n_steps: int) -> None:
         self.cluster_centers_ = np.asarray(centers)
         self._counts = np.asarray(counts)
-        return self
+        self.n_steps_ = n_steps
 
     def partial_fit(self, batch) -> "MiniBatchSphericalKMeans":
         batch = jnp.asarray(batch)
@@ -110,8 +321,18 @@ class MiniBatchSphericalKMeans:
             # centers restored from disk without counts (legacy catalogs):
             # resume with zero counts = full learning rate on the next batch
             self._counts = np.zeros((self.n_clusters,), np.float32)
-        centers, counts = _minibatch_step(
-            jnp.asarray(self.cluster_centers_), jnp.asarray(self._counts), batch
+        self.n_steps_ += 1
+        do_reassign = jnp.asarray(
+            self.reassignment_ratio > 0
+            and self.n_steps_ % self.reassign_every == 0
+        )
+        centers, counts, _, _ = _minibatch_step(
+            jnp.asarray(self.cluster_centers_),
+            jnp.asarray(self._counts),
+            batch,
+            do_reassign,
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), self.n_steps_),
+            self.reassignment_ratio,
         )
         self.cluster_centers_ = np.asarray(centers)
         self._counts = np.asarray(counts)

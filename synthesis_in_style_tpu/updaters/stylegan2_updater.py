@@ -133,16 +133,12 @@ def restore_gan_snapshot(state: GANTrainState, tree) -> GANTrainState:
         state = state.replace(g_noises=asarray(tree["g_noises"]))
     if "generator_optimizer" in tree:
         # orbax restores plain nested containers; rebuild the optax state
-        # structure by matching leaves onto the freshly-initialized state
-        def _restore_opt(ref, loaded):
-            leaves = [jnp.asarray(v) for v in jax.tree_util.tree_leaves(loaded)]
-            return jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(ref), leaves
-            )
+        # structure matching namedtuple fields by NAME (not leaf order)
+        from synthesis_in_style_tpu.utils.checkpoint import restore_structured
 
         state = state.replace(
-            g_opt=_restore_opt(state.g_opt, tree["generator_optimizer"]),
-            d_opt=_restore_opt(state.d_opt, tree["discriminator_optimizer"]),
+            g_opt=restore_structured(state.g_opt, tree["generator_optimizer"]),
+            d_opt=restore_structured(state.d_opt, tree["discriminator_optimizer"]),
         )
     return state
 

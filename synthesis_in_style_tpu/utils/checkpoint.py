@@ -53,6 +53,48 @@ def load_pytree(path: Union[str, Path]) -> Any:
     return ckptr.restore(Path(path).resolve())
 
 
+def restore_structured(ref: Any, loaded: Any) -> Any:
+    """Rebuild `ref`'s pytree structure (namedtuples, tuples, dicts — e.g.
+    an optax state chain) from an orbax-restored tree of plain dicts/lists.
+
+    Namedtuple fields are matched BY NAME (orbax stores them as dicts keyed
+    by field name), not by sorted-leaf order — an optimizer whose field
+    order differs from alphabetical dict order, or a chain with >10 stages
+    ('10' sorts before '2'), restores correctly. Leaf shapes are asserted
+    against their destinations."""
+    import jax.numpy as jnp
+
+    if loaded is None:
+        # orbax stores empty containers (e.g. optax.EmptyState) as None
+        return ref
+    if isinstance(ref, tuple) and hasattr(ref, "_fields"):  # namedtuple
+        if isinstance(loaded, dict):
+            return type(ref)(
+                **{
+                    f: restore_structured(getattr(ref, f), loaded[f])
+                    for f in ref._fields
+                }
+            )
+        return type(ref)(
+            *(restore_structured(r, l) for r, l in zip(ref, loaded))
+        )
+    if isinstance(ref, (tuple, list)):
+        if isinstance(loaded, dict):  # {"0": ..., "1": ...} style
+            seq = [loaded[str(i)] for i in range(len(ref))]
+        else:
+            seq = list(loaded)
+        assert len(seq) == len(ref), (len(seq), len(ref))
+        out = [restore_structured(r, l) for r, l in zip(ref, seq)]
+        return type(ref)(out) if isinstance(ref, list) else tuple(out)
+    if isinstance(ref, dict):
+        return {k: restore_structured(v, loaded[k]) for k, v in ref.items()}
+    leaf = jnp.asarray(loaded)
+    ref_shape = getattr(ref, "shape", None)
+    if ref_shape is not None:
+        assert leaf.shape == tuple(ref_shape), (leaf.shape, ref_shape)
+    return leaf
+
+
 def latest_snapshot(checkpoint_dir: Union[str, Path]) -> Optional[Path]:
     """Newest `iter_XXXXXXXX` snapshot in a checkpoints dir."""
     checkpoint_dir = Path(checkpoint_dir)

@@ -287,3 +287,66 @@ def test_transunet_train_step_bf16_keeps_f32_masters():
         for a in jax.tree_util.tree_leaves((state.params, state.batch_stats))
     }
     assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
+
+
+def test_vit_config_registry_matches_reference():
+    """All 8 reference ViT configs exist with the same ViT fields
+    (reference vit_seg_modeling.py:456-465, vit_seg_configs.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from reference_loader import REFERENCE, load_reference_module
+
+    if not REFERENCE.exists():
+        pytest.skip("reference repo not mounted")
+    ref_cfgs = load_reference_module(
+        "networks.trans_u_net.vit_seg_configs"
+    )
+    ref_registry = {
+        "ViT-B_16": ref_cfgs.get_b16_config(),
+        "ViT-B_32": ref_cfgs.get_b32_config(),
+        "ViT-L_16": ref_cfgs.get_l16_config(),
+        "ViT-L_32": ref_cfgs.get_l32_config(),
+        "ViT-H_14": ref_cfgs.get_h14_config(),
+        "R50-ViT-B_16": ref_cfgs.get_r50_b16_config(),
+        "R50-ViT-L_16": ref_cfgs.get_r50_l16_config(),
+        "testing": ref_cfgs.get_testing(),
+    }
+    assert set(VIT_CONFIGS) == set(ref_registry)
+    for name, ref in ref_registry.items():
+        if name == "testing":
+            # deliberate divergence: the reference's test fixture uses
+            # hidden_size=1 (vit_seg_configs.py:30-43); ours is a usable
+            # tiny config — a fixture, not a capability
+            continue
+        ours = VIT_CONFIGS[name]()
+        assert tuple(ours["patches"]["size"]) == tuple(ref.patches.size), name
+        assert ours["hidden_size"] == ref.hidden_size, name
+        for f in ("mlp_dim", "num_heads", "num_layers",
+                  "attention_dropout_rate", "dropout_rate"):
+            assert ours["transformer"][f] == ref.transformer[f], (name, f)
+        if "resnet" in ref:
+            assert tuple(ours["resnet"]["num_layers"]) == tuple(
+                ref.resnet.num_layers
+            ), name
+            assert ours["resnet"]["width_factor"] == ref.resnet.width_factor
+
+
+def test_transunet_patch14_geometry():
+    """ViT-H_14's patch-14 grid flows through embeddings/decoder (width
+    shrunk so the test stays CPU-sized; the full H/14 widths are asserted in
+    the registry test above)."""
+    config = VIT_CONFIGS["ViT-H_14"]()
+    config["hidden_size"] = 32
+    config["transformer"].update(
+        {"mlp_dim": 64, "num_heads": 4, "num_layers": 2}
+    )
+    config["decoder_channels"] = (16, 8, 4, 2)
+    model = VisionTransformer(config=config, img_size=56, num_classes=3)
+    x = jnp.zeros((1, 56, 56, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    logits = model.apply(variables, x, train=False)
+    # 14x14 patches on 56px -> 4x4 tokens, cup upsamples x16 -> 64, and the
+    # head crops/resizes to the input size
+    assert logits.shape[0] == 1 and logits.shape[-1] == 3

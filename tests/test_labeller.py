@@ -104,3 +104,82 @@ def test_render_index_contains_palette(labeller):
     html = render_index(labeller)
     assert "printed_text" in html
     assert str(labeller.num_images) in html
+
+
+def test_labeller_loads_reference_era_catalog_pickle(tmp_path):
+    """A reference-era semantic_segmentation dir (catalogs/<k>.pkl +
+    cluster_arrays/<k>.npz, NO cluster_labels) loads directly: per-layer
+    labels come from the pickled estimators' labels_ (reference
+    semantic_labeller/app.py:99-119)."""
+    import pickle
+    import sys
+    import types
+
+    # build a synthetic legacy pickle whose classes claim the reference
+    # module paths, exactly as reference-era pickles do
+    mod_fc = types.ModuleType("segmentation.gan_local_edit.factor_catalog")
+    mod_sk = types.ModuleType("segmentation.gan_local_edit.spherical_kmeans")
+
+    class FactorCatalog:
+        pass
+
+    class MiniBatchSphericalKMeans:
+        pass
+
+    FactorCatalog.__module__ = mod_fc.__name__
+    FactorCatalog.__qualname__ = "FactorCatalog"
+    MiniBatchSphericalKMeans.__module__ = mod_sk.__name__
+    MiniBatchSphericalKMeans.__qualname__ = "MiniBatchSphericalKMeans"
+    mod_fc.FactorCatalog = FactorCatalog
+    mod_sk.MiniBatchSphericalKMeans = MiniBatchSphericalKMeans
+    pkg_root = types.ModuleType("segmentation")
+    pkg_mid = types.ModuleType("segmentation.gan_local_edit")
+    registered = {
+        "segmentation": pkg_root,
+        "segmentation.gan_local_edit": pkg_mid,
+        mod_fc.__name__: mod_fc,
+        mod_sk.__name__: mod_sk,
+    }
+    saved_modules = {k: sys.modules.get(k) for k in registered}
+    sys.modules.update(registered)
+    try:
+        rng = np.random.default_rng(1)
+        shapes = {"8": 8, "12": 16}
+        catalogs = {}
+        arrays = {}
+        for layer, hw in shapes.items():
+            est = MiniBatchSphericalKMeans()
+            est.cluster_centers_ = rng.normal(size=(K, 4)).astype(np.float32)
+            est.labels_ = rng.integers(0, K, (2 * hw * hw)).astype(np.int64)
+            cat = FactorCatalog()
+            cat._factorization = est
+            cat.annotations = {}
+            catalogs[layer] = cat
+            arrays[layer] = rng.integers(0, 255, (2, 3, hw, hw), np.uint8)
+        catalogs["id_to_size_map"] = {0: 8, 1: 12}
+
+        (tmp_path / "catalogs").mkdir()
+        (tmp_path / "cluster_arrays").mkdir()
+        with (tmp_path / "catalogs" / f"{K}.pkl").open("wb") as f:
+            pickle.dump(catalogs, f)
+        np.savez(tmp_path / "cluster_arrays" / f"{K}.npz", **arrays)
+        colors_path = tmp_path / "colors.json"
+        colors_path.write_text(json.dumps(CLASS_COLORS))
+    finally:
+        for name, orig in saved_modules.items():
+            if orig is None:
+                del sys.modules[name]
+            else:
+                sys.modules[name] = orig
+
+    lab = Labeller(tmp_path, K, colors_path, max_size=16)
+    assert lab.layer_ids == ["8", "12"]
+    assert lab.labels[0].shape == (2, 8, 8)
+    assert lab.labels[1].shape == (2, 16, 16)
+    # labels round-trip the estimators' labels_
+    np.testing.assert_array_equal(
+        lab.labels[1].ravel(),
+        np.asarray(catalogs["12"]._factorization.labels_),
+    )
+    img = lab.get_image(0, 0)
+    assert img.size == (16, 16)

@@ -1,0 +1,235 @@
+"""Numerical A/B of the metric backbones against torch (VERDICT r1 weak #3).
+
+torchvision/skimage are absent, so the reference's vendored LPIPS lib cannot
+be imported; instead each test builds the torchvision architecture as a
+plain torch Sequential with the SAME layer indices (the layouts our
+`load_torch_*` converters are written against), randomizes the weights, and
+asserts numeric parity of every feature tap and of the full LPIPS distance.
+A systematic converter transposition or architecture mismatch fails these
+even without ImageNet weights."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from synthesis_in_style_tpu.losses.feature_extractors import (  # noqa: E402
+    ALEXNET_SPECS,
+    AlexNetFeatures,
+    VGG16_CHANNELS,
+    VGG16_CONV_IDS,
+    VGG16_LPIPS_TAPS,
+    VGG16_POOL_AFTER,
+    VGG16Features,
+    load_torch_alexnet_features,
+    load_torch_vgg16_features,
+)
+
+
+def _torch_vgg16_features() -> tnn.Sequential:
+    """torchvision vgg16.features layout: conv/ReLU pairs with MaxPool after
+    conv positions {1,3,6,9,12} — Sequential indices match VGG16_CONV_IDS."""
+    layers = []
+    in_c = 3
+    for i, out_c in enumerate(VGG16_CHANNELS):
+        layers.append(tnn.Conv2d(in_c, out_c, 3, padding=1))
+        layers.append(tnn.ReLU(inplace=False))
+        if i in VGG16_POOL_AFTER:
+            layers.append(tnn.MaxPool2d(2, 2))
+        in_c = out_c
+    seq = tnn.Sequential(*layers)
+    conv_ids = [
+        i for i, m in enumerate(seq) if isinstance(m, tnn.Conv2d)
+    ]
+    assert conv_ids == VGG16_CONV_IDS, conv_ids
+    return seq
+
+
+def _torch_alexnet_features() -> tnn.Sequential:
+    """torchvision alexnet.features layout (convs at 0,3,6,8,10)."""
+    specs = ALEXNET_SPECS
+    layers = [
+        tnn.Conv2d(3, specs[0][0], specs[0][1], specs[0][2], specs[0][3]),
+        tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(specs[0][0], specs[1][0], specs[1][1], specs[1][2], specs[1][3]),
+        tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(specs[1][0], specs[2][0], specs[2][1], specs[2][2], specs[2][3]),
+        tnn.ReLU(),
+        tnn.Conv2d(specs[2][0], specs[3][0], specs[3][1], specs[3][2], specs[3][3]),
+        tnn.ReLU(),
+        tnn.Conv2d(specs[3][0], specs[4][0], specs[4][1], specs[4][2], specs[4][3]),
+        tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+    ]
+    return tnn.Sequential(*layers)
+
+
+def _taps_torch(seq, x, relu_positions):
+    feats = []
+    out = x
+    for i, m in enumerate(seq):
+        out = m(out)
+        if i in relu_positions:
+            feats.append(out)
+    return feats
+
+
+def test_vgg16_features_match_torch():
+    torch.manual_seed(0)
+    seq = _torch_vgg16_features().eval()
+    x = torch.randn(2, 3, 64, 64) * 0.5
+    relu_ids = [VGG16_CONV_IDS[i] + 1 for i in range(len(VGG16_CHANNELS))]
+    with torch.no_grad():
+        theirs = _taps_torch(seq, x, set(relu_ids))
+
+    variables = load_torch_vgg16_features(
+        {k: v.numpy() for k, v in seq.state_dict().items()}
+    )
+    ours = VGG16Features().apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    assert len(ours) == len(theirs) == 13
+    for i, (a, b) in enumerate(zip(ours, theirs)):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            b.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4,
+            atol=1e-4,
+            err_msg=f"conv {i}",
+        )
+
+
+def test_alexnet_features_match_torch():
+    torch.manual_seed(1)
+    seq = _torch_alexnet_features().eval()
+    x = torch.randn(2, 3, 64, 64) * 0.5
+    with torch.no_grad():
+        theirs = _taps_torch(seq, x, {1, 4, 7, 9, 11})
+
+    variables = load_torch_alexnet_features(
+        {k: v.numpy() for k, v in seq.state_dict().items()}
+    )
+    ours = AlexNetFeatures().apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    assert len(ours) == len(theirs) == 5
+    for i, (a, b) in enumerate(zip(ours, theirs)):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            b.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4,
+            atol=1e-4,
+            err_msg=f"conv {i}",
+        )
+
+
+@pytest.mark.parametrize("net", ["alex", "vgg"])
+def test_lpips_distance_matches_torch_semantics(net):
+    """Full LPIPS pipeline vs a torch implementation of the reference
+    PNetLin semantics (networks_basic.py:66-94: scaling layer -> backbone
+    taps -> channel-unit-normalize -> squared diff -> 1x1 lin -> spatial
+    mean -> sum), same random weights on both sides."""
+    from synthesis_in_style_tpu.losses.lpips import LPIPS, _SCALE, _SHIFT
+
+    torch.manual_seed(2)
+    if net == "alex":
+        seq = _torch_alexnet_features().eval()
+        relu_ids = {1, 4, 7, 9, 11}
+        channels = [s[0] for s in ALEXNET_SPECS]
+        variables = load_torch_alexnet_features(
+            {k: v.numpy() for k, v in seq.state_dict().items()}
+        )
+    else:
+        seq = _torch_vgg16_features().eval()
+        relu_ids = {VGG16_CONV_IDS[i] + 1 for i in VGG16_LPIPS_TAPS}
+        channels = [VGG16_CHANNELS[t] for t in VGG16_LPIPS_TAPS]
+        variables = load_torch_vgg16_features(
+            {k: v.numpy() for k, v in seq.state_dict().items()}
+        )
+    rng = np.random.default_rng(3)
+    lin_weights = [rng.random(c).astype(np.float32) for c in channels]
+
+    x0 = torch.rand(2, 3, 64, 64) * 2 - 1
+    x1 = torch.rand(2, 3, 64, 64) * 2 - 1
+
+    shift = torch.from_numpy(_SHIFT).view(1, 3, 1, 1)
+    scale = torch.from_numpy(_SCALE).view(1, 3, 1, 1)
+
+    def torch_lpips(a, b):
+        fa = _taps_torch(seq, (a - shift) / scale, relu_ids)
+        fb = _taps_torch(seq, (b - shift) / scale, relu_ids)
+        total = torch.zeros(a.shape[0])
+        for f0, f1, lin in zip(fa, fb, lin_weights):
+            n0 = f0 / (f0.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            n1 = f1 / (f1.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (n0 - n1).pow(2)
+            w = torch.from_numpy(lin).view(1, -1, 1, 1)
+            total += (d * w).sum(1).mean([1, 2])
+        return total
+
+    with torch.no_grad():
+        theirs = torch_lpips(x0, x1).numpy()
+
+    lpips = LPIPS(
+        net=net, backbone_variables=variables, lin_weights=lin_weights
+    )
+    ours = np.asarray(
+        lpips(
+            jnp.asarray(x0.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(x1.numpy().transpose(0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_inception_resize_matches_torch_bilinear():
+    """FID grid-size handling: the 299x299 input resize in `preprocess` must
+    match torch.nn.functional.interpolate(bilinear, align_corners=False),
+    which is what pytorch_fid's InceptionV3 wrapper applies (reference FID
+    backbone, evaluation/fid.py:37-41)."""
+    from synthesis_in_style_tpu.models.inception_v3 import preprocess
+
+    rng = np.random.default_rng(4)
+    x = (rng.random((2, 64, 64, 3)) * 2 - 1).astype(np.float32)
+    with torch.no_grad():
+        theirs = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                size=(299, 299),
+                mode="bilinear",
+                align_corners=False,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+    ours = np.asarray(preprocess(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_avg_pool_no_pad_matches_torch_on_ramp():
+    """count_include_pad=False average pooling on a non-constant input —
+    borders divide by the VALID window size only (the existing constant-input
+    test can't see the divisor)."""
+    from synthesis_in_style_tpu.models.inception_v3 import avg_pool_no_pad
+
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 7, 7, 2)).astype(np.float32)
+    with torch.no_grad():
+        theirs = (
+            torch.nn.functional.avg_pool2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                kernel_size=3,
+                stride=1,
+                padding=1,
+                count_include_pad=False,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+    ours = np.asarray(avg_pool_no_pad(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)

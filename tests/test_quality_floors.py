@@ -1,0 +1,200 @@
+"""End-to-end quality floors as regression gates (VERDICT r1 #10).
+
+Round 1's chip soaks reached weighted dice 0.95 / IoU 0.93 on the
+segmentation leg and stable finite GAN losses; those numbers lived only in
+prose. These tests pin deterministic, CPU-sized floors: a refactor that
+breaks learning dynamics (loss wiring, BN/µ state threading, optimizer
+coupling, EMA) fails here even when every unit test still passes.
+
+Fixed seeds + synthetic fixtures; generous-but-real floors so the gates are
+robust to dtype/backend jitter yet catch real regressions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+
+def _rect_dataset(rng, n, size, classes=3):
+    """Trivially learnable segmentation task: colored rectangles on a dark
+    background; labels = which rectangle covers the pixel."""
+    images = np.zeros((n, size, size, 3), np.float32)
+    labels = np.zeros((n, size, size), np.int32)
+    for i in range(n):
+        for cls in range(1, classes):
+            x0, y0 = rng.integers(0, size // 2, 2)
+            w, h = rng.integers(size // 4, size // 2, 2)
+            color = np.zeros(3, np.float32)
+            color[cls - 1] = 1.0
+            images[i, y0 : y0 + h, x0 : x0 + w] = color
+            labels[i, y0 : y0 + h, x0 : x0 + w] = cls
+        images[i] += rng.normal(0, 0.05, (size, size, 3)).astype(np.float32)
+    return images, labels
+
+
+def _dice_per_class(pred, labels, classes):
+    dices = []
+    for c in range(classes):
+        p = pred == c
+        t = labels == c
+        inter = np.logical_and(p, t).sum()
+        denom = p.sum() + t.sum()
+        dices.append(1.0 if denom == 0 else 2.0 * inter / denom)
+    return np.asarray(dices)
+
+
+def test_segmentation_training_reaches_dice_floor():
+    """DocUFCN on the rectangle task must exceed mean dice 0.85 within 120
+    steps (the chip soak hit 0.95 on a harder task; this floor catches a
+    broken train step, not noise)."""
+    from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
+    from synthesis_in_style_tpu.updaters.segmentation_updater import (
+        create_seg_train_state,
+        make_standard_train_step,
+    )
+
+    size, batch, classes = 32, 8, 3
+    rng = np.random.default_rng(0)
+    images, labels = _rect_dataset(rng, 32, size, classes)
+
+    model = DocUFCN(
+        num_classes=classes, encoder_dropout=0.0, decoder_dropout=0.0
+    )
+    tx = optax.adam(2e-3)
+    state = create_seg_train_state(model, jax.random.PRNGKey(0), size, tx)
+    step = make_standard_train_step(model, tx, donate=False)
+
+    key = jax.random.PRNGKey(1)
+    first_loss = None
+    for i in range(120):
+        idx = rng.integers(0, len(images), batch)
+        batch_data = {
+            "images": jnp.asarray(images[idx]),
+            "segmented": jnp.asarray(labels[idx]),
+        }
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch_data, sub)
+        if first_loss is None:
+            first_loss = float(metrics["softmax"])
+    final_loss = float(metrics["softmax"])
+    assert final_loss < first_loss * 0.5, (first_loss, final_loss)
+
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(images[:8]),
+        train=False,
+    )
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    dice = _dice_per_class(pred, labels[:8], classes)
+    assert dice.mean() > 0.85, dice
+    assert (dice > 0.6).all(), dice
+
+
+def test_gan_training_loss_trajectory_floor():
+    """30 GAN iterations (D + R1 + G + path-reg + EMA every 4) on synthetic
+    data: all losses stay finite, the discriminator separates real from fake
+    (real_score > fake_score by the end), and EMA tracked the generator."""
+    from synthesis_in_style_tpu.models.stylegan2 import (
+        Discriminator,
+        Generator,
+    )
+    from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+        StyleGAN2Config,
+        create_gan_train_state,
+        make_train_steps,
+    )
+
+    size, batch = 16, 8
+    gen = Generator(size=size, style_dim=32, n_mlp=2)
+    disc = Discriminator(size=size)
+    tx = optax.adam(2e-3, b1=0.0, b2=0.99)
+    state = create_gan_train_state(
+        gen, disc, jax.random.PRNGKey(0), size, tx, tx
+    )
+    g_init = jax.tree_util.tree_map(np.asarray, state.g_params)
+    steps = make_train_steps(
+        gen, disc, tx, tx, StyleGAN2Config(d_reg_every=4, g_reg_every=4),
+        batch, donate=False,
+    )
+
+    rng = np.random.default_rng(1)
+    # "real" data with structure: smooth gradients, not pure noise
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    real_bank = np.stack(
+        [
+            np.stack([yy * a, xx * b, (yy + xx) * 0.5], axis=-1)
+            for a, b in rng.random((32, 2)) * 2 - 1
+        ]
+    ).astype(np.float32)
+
+    key = jax.random.PRNGKey(2)
+    last = {}
+    for i in range(30):
+        real = jnp.asarray(real_bank[rng.integers(0, 32, batch)])
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        state, m = steps["d_step"](state, real, k1)
+        last.update(m)
+        if i % 4 == 0:
+            state, m = steps["d_reg_step"](state, real)
+            last.update(m)
+        state, m = steps["g_step"](state, k2)
+        last.update(m)
+        if i % 4 == 0:
+            state, m = steps["g_reg_step"](state, k3)
+            last.update(m)
+        state, _ = steps["ema_step"](state)
+        for k, v in last.items():
+            assert np.isfinite(float(v)), (i, k, v)
+
+    # D learned to separate real from fake on this easy distribution
+    assert float(last["real_score"]) > float(last["fake_score"]), last
+    # EMA moved off the init and toward (but not onto) the live params
+    ema_moved = [
+        float(np.abs(np.asarray(e) - i0).max())
+        for e, i0 in zip(
+            jax.tree_util.tree_leaves(state.g_ema),
+            jax.tree_util.tree_leaves(g_init),
+        )
+    ]
+    assert max(ema_moved) > 0, "EMA never updated"
+    same = all(
+        np.array_equal(np.asarray(e), np.asarray(p))
+        for e, p in zip(
+            jax.tree_util.tree_leaves(state.g_ema),
+            jax.tree_util.tree_leaves(state.g_params),
+        )
+    )
+    assert not same, "EMA collapsed onto live params"
+
+
+def test_kmeans_cluster_quality_floor():
+    """Spherical k-means on document-like feature blobs: all clusters used,
+    assignment purity >= 0.9 against ground truth."""
+    from synthesis_in_style_tpu.segmentation.kmeans import (
+        MiniBatchSphericalKMeans,
+    )
+
+    rng = np.random.default_rng(2)
+    k, dim = 6, 24
+    true = np.eye(k, dim, dtype=np.float32) * 2
+    x = np.concatenate(
+        [c + 0.2 * rng.normal(size=(500, dim)) for c in true]
+    ).astype(np.float32)
+    truth = np.repeat(np.arange(k), 500)
+    perm = rng.permutation(len(x))
+    x, truth = x[perm], truth[perm]
+
+    km = MiniBatchSphericalKMeans(
+        n_clusters=k, batch_size=512, n_epochs=15, seed=0
+    ).fit(x)
+    pred = km.predict(x / np.linalg.norm(x, axis=1, keepdims=True))
+    sizes = np.bincount(pred, minlength=k)
+    assert (sizes > 0).all(), sizes
+    # purity: majority-true-label share per predicted cluster
+    purity = sum(
+        np.bincount(truth[pred == c]).max()
+        for c in range(k)
+        if (pred == c).any()
+    ) / len(x)
+    assert purity >= 0.9, purity

@@ -201,3 +201,47 @@ def test_gan_train_cli_resumes_from_reference_pt(tmp_path):
     args.log_dir = str(log_dir)
     gan_cli.main(args)
     assert latest_snapshot(log_dir / "checkpoints") is not None
+
+
+def test_restore_structured_matches_fields_by_name(tmp_path):
+    """Optimizer-state restore must match namedtuple fields by NAME, not by
+    sorted-leaf order — a state whose field order differs from alphabetical
+    would silently scramble moments under order-based unflattening."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.utils.checkpoint import (
+        restore_structured,
+        save_pytree,
+        load_pytree,
+    )
+
+    # field order (zebra, alpha) is the REVERSE of alphabetical
+    Tricky = collections.namedtuple("Tricky", ["zebra", "alpha"])
+    state = (
+        Tricky(zebra=jnp.full((2,), 7.0), alpha=jnp.full((2,), 1.0)),
+        (),  # empty stage, like optax.EmptyState
+        {"mu": {"w": jnp.arange(3.0)}, "count": jnp.int32(5)},
+    )
+    snap = tmp_path / "snap"
+    save_pytree(snap, {"opt": state})
+    loaded = load_pytree(snap)["opt"]
+
+    restored = restore_structured(state, loaded)
+    assert isinstance(restored[0], Tricky)
+    np.testing.assert_array_equal(np.asarray(restored[0].zebra), 7.0)
+    np.testing.assert_array_equal(np.asarray(restored[0].alpha), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(restored[2]["mu"]["w"]), np.arange(3.0)
+    )
+    assert int(restored[2]["count"]) == 5
+    assert jax.tree_util.tree_structure(restored) == (
+        jax.tree_util.tree_structure(state)
+    )
+
+    # shape mismatch is an error, not a silent scramble
+    bad = Tricky(zebra=jnp.zeros((3,)), alpha=jnp.zeros((2,)))
+    with __import__("pytest").raises(AssertionError):
+        restore_structured((bad, (), state[2]), loaded)
