@@ -115,15 +115,39 @@ def build_dataset(
     # cluster prediction) BEFORE blocking on batch i's transfer, so the host
     # contour/PNG stage overlaps device compute (JAX async dispatch).
     can_pipeline = hasattr(segmenter, "begin_prepare")
+    use_device_contours = bool(
+        getattr(args, "device_contours", False)
+        and hasattr(segmenter, "begin_segment_on_device")
+    )
+    contour_pool = None
+    if (
+        can_pipeline
+        and not use_device_contours
+        and getattr(args, "contour_workers", 0) > 0
+    ):
+        from synthesis_in_style_tpu.segmentation.contour_pool import (
+            ContourWorkerPool,
+        )
+
+        contour_pool = ContourWorkerPool(segmenter, args.contour_workers)
     generated = 0
     pending = None  # (images_device, masks_device, batch_size)
 
     def process(pending_batch):
         nonlocal generated
         images_dev, masks_dev, batch_size = pending_batch
-        if can_pipeline:
+        if use_device_contours:
+            label_images, image_ids_to_drop = (
+                segmenter.finish_segment_on_device(masks_dev)
+            )
+        elif can_pipeline:
             predicted = segmenter.finish_prepare(masks_dev)
-            label_images, image_ids_to_drop = segmenter.segment_prepared(
+            contour_half = (
+                contour_pool.segment_prepared
+                if contour_pool is not None
+                else segmenter.segment_prepared
+            )
+            label_images, image_ids_to_drop = contour_half(
                 predicted, batch_size
             )
         else:
@@ -156,11 +180,12 @@ def build_dataset(
             z = next(latent_stream)
             activations, images = generate(z)
             batch_size = int(z.shape[0])
-            masks = (
-                segmenter.begin_prepare(activations)
-                if can_pipeline
-                else activations
-            )
+            if use_device_contours:
+                masks = segmenter.begin_segment_on_device(activations)
+            elif can_pipeline:
+                masks = segmenter.begin_prepare(activations)
+            else:
+                masks = activations
             new_pending = (images, masks, batch_size)
         else:
             new_pending = None
@@ -168,6 +193,8 @@ def build_dataset(
             process(pending)
         pending = new_pending
     print()
+    if contour_pool is not None:
+        contour_pool.shutdown()
 
 
 def create_dataset_json_data(
@@ -244,6 +271,19 @@ def build_parser() -> argparse.ArgumentParser:
                         default=False)
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--truncate", action="store_true", default=False)
+    parser.add_argument(
+        "--contour-workers", type=int, default=0,
+        help="worker processes for the host contour stage (0 = in-process); "
+        "on a multi-core TPU host this scales the per-image contour/"
+        "classify half independently of device synthesis",
+    )
+    parser.add_argument(
+        "--device-contours", action="store_true", default=False,
+        help="run the rasterized contour back half on the TPU inside one "
+        "jitted program (segmentation.device_segmenter) — only final color "
+        "masks + drop flags transfer to the host; pixel-area thresholds "
+        "differ slightly from the OpenCV polygon areas near the cutoff",
+    )
     parser.add_argument("--num-clusters", type=int, default=-1)
     parser.add_argument("--classifier-path", default=None)
     parser.add_argument("-ssd", "--semantic-segmentation-base-dir", type=Path,

@@ -197,9 +197,11 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
 
         from synthesis_in_style_tpu.segmentation.kmeans import assign_euclidean
 
-        @jax.jit
-        def prepare(activations: Dict[str, Array]) -> Array:
-            masks = []
+        def compute_masks(activations: Dict[str, Array]) -> Dict:
+            """{(layer_id, class_name): (B, S, S) bool} at image size —
+            the un-packed front half, shared by the host-transfer path and
+            the fully-on-device path."""
+            out = {}
             labels_per_layer = {}
             for layer_id in layer_ids:
                 acts = activations[layer_id]
@@ -216,22 +218,25 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
                         mask.astype(jnp.uint8),
                         (mask.shape[0], image_size, image_size),
                         method="nearest",
-                    )
-                else:
-                    mask = mask.astype(jnp.uint8)
-                masks.append(mask)
-            stacked = jnp.stack(masks)  # (len(plan), B, S, S) uint8
-            # bit-pack along the last axis: 8x smaller device→host transfer
-            return jnp.packbits(stacked.astype(bool), axis=-1)
+                    ).astype(bool)
+                out[(layer_id, class_name)] = mask
+            return out
 
-        return prepare, plan
+        @jax.jit
+        def prepare(activations: Dict[str, Array]) -> Array:
+            masks = compute_masks(activations)
+            stacked = jnp.stack([masks[key] for key in plan])
+            # bit-pack along the last axis: 8x smaller device→host transfer
+            return jnp.packbits(stacked, axis=-1)
+
+        return prepare, plan, compute_masks
 
     def begin_prepare(self, activations: Dict[int, Array]) -> Array:
         """Dispatch the fused front half; returns the (plan, B, S, S) device
         array WITHOUT blocking — lets callers overlap the next batch's device
         work with this batch's host contour stage."""
         if not hasattr(self, "_prepare_fn"):
-            self._prepare_fn, self._prepare_plan = self._build_prepare_fn()
+            self._prepare_fn, self._prepare_plan, _ = self._build_prepare_fn()
         acts = {
             str(k): jnp.asarray(v)
             for k, v in activations.items()
@@ -255,6 +260,48 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
         """Fused front half (see _build_prepare_fn); returns host numpy bool
         masks per layer/class — downstream contour code is host-side anyway."""
         return self.finish_prepare(self.begin_prepare(activations))
+
+    # ---------------- multiprocess contour workers ----------------
+
+    # everything segment_prepared (and its delegates) reads — the contour
+    # half never touches the catalog or any jax state, so worker processes
+    # can run it from this small picklable spec without loading artifacts
+    CONTOUR_SPEC_ATTRS = (
+        "base_dir",
+        "image_size",
+        "class_to_color_map",
+        "class_id_map",
+        "debug",
+        "debug_images",
+        "keys_for_class_determination",
+        "keys_for_finegrained_segmentation",
+        "keys_for_generation",
+        "keys_to_merge",
+        "num_clusters",
+        "min_class_contour_area",
+        "only_keep_overlapping",
+        "handwriting_overlap_threshold",
+    )
+
+    def contour_spec(self) -> Dict:
+        """Picklable description of the host contour half, for
+        `contour_pool.ContourWorkerPool` worker processes."""
+        return {
+            "cls": type(self),
+            "attrs": {
+                k: getattr(self, k)
+                for k in self.CONTOUR_SPEC_ATTRS
+                if hasattr(self, k)
+            },
+        }
+
+    @staticmethod
+    def from_contour_spec(spec: Dict) -> "BaseClusterBasedDatasetSegmenter":
+        """Rebuild a contour-half-only segmenter in a worker process —
+        skips __init__ (which loads catalogs and asserts label maps)."""
+        obj = spec["cls"].__new__(spec["cls"])
+        obj.__dict__.update(spec["attrs"])
+        return obj
 
     # ---------------- host-side contour half (delegates) ----------------
 
@@ -435,6 +482,95 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         )
         batch_size = int(next(iter(activations.values())).shape[0])
         return self.segment_prepared(predicted_clusters, batch_size)
+
+    # ---------------- fully-on-device path ----------------
+
+    def _build_device_segment_fn(self):
+        """ONE jitted program for the WHOLE segmentation: k-means assignment
+        + cluster merge + rasterized contour back half
+        (segmentation.device_segmenter) — only the final (B, H, W, 3) uint8
+        color masks and (B,) drop flags cross to the host, instead of
+        layers x classes cluster masks + host contour work."""
+        from synthesis_in_style_tpu.segmentation.device_segmenter import (
+            device_segment,
+        )
+
+        _, _, compute_masks = self._build_prepare_fn()
+        class_names = [
+            n for n in self.class_to_color_map if n != "background"
+        ]
+        colors = jnp.asarray(
+            np.stack(
+                [np.asarray(self.class_to_color_map["background"])]
+                + [np.asarray(self.class_to_color_map[c]) for c in class_names]
+            ).astype(np.uint8)
+        )
+        coarse_keys = list(self.keys_for_class_determination)
+        fine_keys = list(self.keys_for_finegrained_segmentation)
+        keys_to_merge = dict(getattr(self, "keys_to_merge", {}))
+        only_keep = bool(self.only_keep_overlapping)
+        min_area = int(self.min_class_contour_area)
+        max_extent = int(self.image_size * 0.95)
+        size = self.image_size
+
+        def mask_of(masks, layer, cls):
+            if layer in keys_to_merge:
+                return reduce(
+                    jnp.logical_or,
+                    [mask_of(masks, src, cls) for src in keys_to_merge[layer]],
+                )
+            if (layer, cls) not in masks:
+                # class unlabelled in this layer: empty mask (the host path
+                # instead omits the layer from the merge — divergent only
+                # for partially-labelled layers, which the BlackWhite sanity
+                # check rejects anyway)
+                batch = next(iter(masks.values())).shape[0]
+                return jnp.zeros((batch, size, size), bool)
+            return masks[(layer, cls)]
+
+        @jax.jit
+        def fused(activations: Dict[str, Array]):
+            masks = compute_masks(activations)
+            coarse = jnp.stack(
+                [
+                    jnp.stack(
+                        [mask_of(masks, layer, c) for c in class_names]
+                    )
+                    for layer in coarse_keys
+                ]
+            )
+            fine_printed = jnp.stack(
+                [mask_of(masks, layer, "printed_text") for layer in fine_keys]
+            )
+            raw_fine = mask_of(masks, fine_keys[-1], "printed_text")
+            return device_segment(
+                coarse,
+                fine_printed,
+                raw_fine,
+                colors,
+                only_keep_overlapping=only_keep,
+                min_area=min_area,
+                max_extent=max_extent,
+            )
+
+        return fused
+
+    def begin_segment_on_device(self, activations: Dict[int, Array]):
+        """Dispatch the fused synth-mask→color-mask program WITHOUT
+        blocking; pair with finish_segment_on_device."""
+        if not hasattr(self, "_device_segment_fn"):
+            self._device_segment_fn = self._build_device_segment_fn()
+        acts = {
+            str(k): jnp.asarray(v)
+            for k, v in activations.items()
+            if str(k) in self.catalog
+        }
+        return self._device_segment_fn(acts)
+
+    def finish_segment_on_device(self, pending) -> Tuple[np.ndarray, List[int]]:
+        images, drop = pending
+        drop_ids = [int(i) for i in np.flatnonzero(np.asarray(drop))]
+        return np.asarray(images), drop_ids
 
     def segment_prepared(
         self, predicted_clusters: PredictedClusters, batch_size: int

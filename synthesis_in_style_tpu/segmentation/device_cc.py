@@ -64,9 +64,11 @@ def _propagate_axis(labels: Array, mask: Array, axis: int) -> Array:
     return jnp.where(mask, out, _INF)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def connected_components(mask: Array, max_iters: int | None = None) -> Array:
-    """4-connected components of a boolean mask.
+@partial(jax.jit, static_argnames=("max_iters", "connectivity"))
+def connected_components(
+    mask: Array, max_iters: int | None = None, connectivity: int = 4
+) -> Array:
+    """Connected components of a boolean mask.
 
     Args:
       mask: (B, H, W) or (H, W) bool.
@@ -75,11 +77,15 @@ def connected_components(mask: Array, max_iters: int | None = None) -> Array:
         component has at most H*W/2 runs, so the default H*W//2 + 2 is a
         TRUE bound even for maze-shaped 1px components (the loop exits at
         the fixpoint long before this for realistic masks).
+      connectivity: 4 (run propagation only) or 8 (additionally bridges
+        diagonal neighbors with a 3x3 windowed min each sweep — OpenCV
+        findContours semantics).
 
     Returns:
       int32 labels, same shape: background = -1, each component labeled by
       the smallest linear index it contains (canonical within an image).
     """
+    assert connectivity in (4, 8), connectivity
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
@@ -92,7 +98,17 @@ def connected_components(mask: Array, max_iters: int | None = None) -> Array:
 
     def body(state):
         labels, _, i = state
-        new = _propagate_axis(labels, mask, axis=1)  # columns (along H)
+        new = labels
+        if connectivity == 8:
+            # one windowed-min step links diagonal neighbors; the run
+            # propagation below then spreads the bridged label along whole
+            # runs in the same sweep
+            neigh = lax.reduce_window(
+                new, _INF, lax.min, (1, 3, 3), (1, 1, 1),
+                [(0, 0), (1, 1), (1, 1)],
+            )
+            new = jnp.where(mask, jnp.minimum(new, neigh), _INF)
+        new = _propagate_axis(new, mask, axis=1)  # columns (along H)
         new = _propagate_axis(new, mask, axis=2)  # rows (along W)
         changed = jnp.any(new != labels)
         return new, changed, i + 1
@@ -106,6 +122,101 @@ def connected_components(mask: Array, max_iters: int | None = None) -> Array:
     )
     labels = jnp.where(mask, labels, -1)
     return labels[0] if squeeze else labels
+
+
+@jax.jit
+def dilate_cross(mask: Array) -> Array:
+    """3x3 CROSS-kernel binary dilation (the reference dilates every cluster
+    mask with cv2.MORPH_CROSS before contour extraction,
+    base_dataset_segmenter.py:52-57)."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    x = mask.astype(jnp.float32)
+    horiz = lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 1, 3), (1, 1, 1),
+        [(0, 0), (0, 0), (1, 1)],
+    )
+    vert = lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 1), (1, 1, 1),
+        [(0, 0), (1, 1), (0, 0)],
+    )
+    out = jnp.maximum(horiz, vert) > 0.5
+    return out[0] if squeeze else out
+
+
+@jax.jit
+def fill_holes(mask: Array) -> Array:
+    """Fill interior holes: background regions (4-connected — the correct
+    dual of 8-connected foreground) that do not touch the image border
+    become foreground. Matches the raster of cv2.drawContours(...FILLED) on
+    RETR_EXTERNAL contours."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    b, h, w = mask.shape
+    bg_labels = connected_components(jnp.logical_not(mask), connectivity=4)
+    flat = bg_labels.reshape(b, h * w)
+    border = jnp.zeros((h, w), bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    border_flat = border.reshape(h * w)
+
+    def mark(labels_flat):
+        is_border_bg = jnp.logical_and(labels_flat >= 0, border_flat)
+        idx = jnp.where(is_border_bg, labels_flat, 0)
+        marked = jnp.zeros((h * w,), bool).at[idx].max(is_border_bg)
+        return marked[jnp.where(labels_flat >= 0, labels_flat, 0)]
+
+    touches_border = jax.vmap(mark)(flat).reshape(b, h, w)
+    hole = jnp.logical_and(bg_labels >= 0, jnp.logical_not(touches_border))
+    out = jnp.logical_or(mask, hole)
+    return out[0] if squeeze else out
+
+
+@jax.jit
+def component_sums(labels: Array, values: Array) -> Array:
+    """Per-component sum of `values` (same spatial shape), addressed by
+    label id: (B, H*W) with sums[b, l] = sum of values over component l."""
+    squeeze = labels.ndim == 2
+    if squeeze:
+        labels, values = labels[None], values[None]
+    b, h, w = labels.shape
+    flat = labels.reshape(b, h * w)
+    vals = values.reshape(b, h * w).astype(jnp.float32)
+    valid = flat >= 0
+    idx = jnp.where(valid, flat, 0)
+    sums = jax.vmap(
+        lambda i, v, m: jnp.zeros((h * w,), jnp.float32).at[i].add(
+            jnp.where(m, v, 0.0)
+        )
+    )(idx, vals, valid)
+    return sums[0] if squeeze else sums
+
+
+@jax.jit
+def component_bboxes(labels: Array) -> Array:
+    """Per-component inclusive bbox: (B, H*W, 4) of (y_min, x_min, y_max,
+    x_max), addressed by label id; unused slots hold (H, W, -1, -1)."""
+    squeeze = labels.ndim == 2
+    if squeeze:
+        labels = labels[None]
+    b, h, w = labels.shape
+    ys = jnp.broadcast_to(jnp.arange(h)[None, :, None], (b, h, w)).reshape(b, -1)
+    xs = jnp.broadcast_to(jnp.arange(w)[None, None, :], (b, h, w)).reshape(b, -1)
+    flat = labels.reshape(b, h * w)
+    valid = flat >= 0
+    idx = jnp.where(valid, flat, 0)
+
+    def one(i, y, x, m):
+        y_min = jnp.full((h * w,), h, jnp.int32).at[i].min(jnp.where(m, y, h))
+        x_min = jnp.full((h * w,), w, jnp.int32).at[i].min(jnp.where(m, x, w))
+        y_max = jnp.full((h * w,), -1, jnp.int32).at[i].max(jnp.where(m, y, -1))
+        x_max = jnp.full((h * w,), -1, jnp.int32).at[i].max(jnp.where(m, x, -1))
+        return jnp.stack([y_min, x_min, y_max, x_max], axis=-1)
+
+    boxes = jax.vmap(one)(idx, ys, xs, valid)
+    return boxes[0] if squeeze else boxes
 
 
 @partial(jax.jit, static_argnames=("size",))

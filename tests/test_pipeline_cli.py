@@ -90,7 +90,12 @@ def test_generator_converter_roundtrip():
 
 # ---------------- full pipeline ---------------------------------------------
 
-def test_full_synthesis_pipeline(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("extra_args", [[], ["--device-contours"]],
+                         ids=["host-contours", "device-contours"])
+def test_full_synthesis_pipeline(tmp_path, extra_args):
     from synthesis_in_style_tpu.cli import (
         create_dataset_for_segmentation as cds,
     )
@@ -174,7 +179,7 @@ def test_full_synthesis_pipeline(tmp_path):
 
     cds_args = cds.build_parser().parse_args(
         [str(ckpt_dir), str(config_path), "-n", "4", "-b", "4",
-         "--num-clusters", "3"]
+         "--num-clusters", "3"] + extra_args
     )
     cds.main(cds_args)
 
