@@ -280,9 +280,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--device-contours", action="store_true", default=False,
         help="run the rasterized contour back half on the TPU inside one "
-        "jitted program (segmentation.device_segmenter) — only final color "
-        "masks + drop flags transfer to the host; pixel-area thresholds "
-        "differ slightly from the OpenCV polygon areas near the cutoff",
+        "jitted program (segmentation.device_segmenter) — only 1-byte/px "
+        "palette indices + drop flags transfer to the host; pixel-area "
+        "thresholds differ slightly from the OpenCV polygon areas near "
+        "the cutoff",
     )
     parser.add_argument("--num-clusters", type=int, default=-1)
     parser.add_argument("--classifier-path", default=None)

@@ -145,6 +145,14 @@ class DocUFCN(nn.Module):
     decoder_dropout: float = 0.4
     feature_sizes: Sequence[int] = (32, 64, 128, 256)
     pixel_shuffle: bool = False
+    # Rematerialize each encoder/decoder block in the backward pass: only
+    # block-boundary tensors are saved, intra-block activations are
+    # recomputed during backprop. A MEMORY lever for large batch or
+    # resolution — NOT a speed win at 256px/b8: the step is
+    # HBM-bandwidth-bound and the recompute re-writes activations to HBM
+    # (measured 0.81x, 30.2 vs 25.5 GB accessed —
+    # scripts/docufcn_roofline.py).
+    remat: bool = False
 
     def segmenter_config(
         self,
@@ -162,27 +170,34 @@ class DocUFCN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        encoder_cls = (
+            nn.remat(EncoderBlock, static_argnums=(2,))
+            if self.remat
+            else EncoderBlock
+        )
         skips = []
-        h = EncoderBlock(
+        h = encoder_cls(
             self.feature_sizes[0], dropout=self.encoder_dropout, name="encoder_0"
-        )(x, train=train)
+        )(x, train)
         for i, features in enumerate(self.feature_sizes[1:], start=1):
             skips.append(h)
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
-            h = EncoderBlock(
+            h = encoder_cls(
                 features, dropout=self.encoder_dropout, name=f"encoder_{i}"
-            )(h, train=train)
+            )(h, train)
 
         decoder_cls = (
             PixelShuffleDecoderBlock if self.pixel_shuffle else DecoderBlock
         )
+        if self.remat:
+            decoder_cls = nn.remat(decoder_cls, static_argnums=(2,))
         rev_features = list(reversed(self.feature_sizes))
         for i, (features, skip) in enumerate(
             zip(rev_features[1:], reversed(skips))
         ):
             h = decoder_cls(
                 features, dropout=self.decoder_dropout, name=f"decoder_{i}"
-            )(h, train=train)
+            )(h, train)
             h = jnp.concatenate([h, skip], axis=-1)
 
         return nn.Conv(

@@ -30,8 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-# TPU v5e (v5 lite) bf16 matrix peak per chip.
+# TPU v5e (v5 lite) bf16 matrix peak and HBM bandwidth per chip.
 V5E_BF16_PEAK_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
 
 
 # ---------------------------------------------------------------------------
@@ -96,10 +97,13 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
 
         model = DocUFCN(num_classes=classes)
         state = create_seg_train_state(model, jax.random.PRNGKey(0), size, tx)
+        # production config (configs/segmenter/stylegan2_doc_ufcn_segmenter
+        # .yaml): bf16 compute + hardware-RNG dropout stream
         step = make_standard_train_step(
-            model, tx, donate=False, compute_dtype="bfloat16"
+            model, tx, donate=False, compute_dtype="bfloat16",
+            dropout_rng_impl="rbg",
         )
-        name = f"seg/docufcn@{size}px/b{batch}/bf16"
+        name = f"seg/docufcn@{size}px/b{batch}/bf16+rbg"
     elif which == "emanet":
         from synthesis_in_style_tpu.models.ema_net import EMANet
 
@@ -174,6 +178,17 @@ def phase_time(out_path: Path, names, n_steps: int) -> None:
     for name, (fn, args) in build_workloads(names).items():
         state = args[0]
         rest = args[1:]
+        # explicit compile so the TPU executable's cost analysis (true HBM
+        # bytes for THIS backend's fusions/layouts) can be extracted — the
+        # memory-roofline denominator for bandwidth-bound steps
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            record.setdefault(name, {})["bytes_accessed"] = float(
+                ca["bytes accessed"]
+            )
+        except Exception as e:  # cost analysis is best-effort per backend
+            print(f"{name}: no bytes accessed ({e})")
         # warm up (compile) and reach steady state
         state, m = fn(state, *rest)
         jax.tree_util.tree_map(np.asarray, m)
@@ -192,20 +207,27 @@ def phase_time(out_path: Path, names, n_steps: int) -> None:
 def phase_report(out_path: Path) -> None:
     record = json.loads(out_path.read_text())
     print(
-        "| step | GFLOP/step | ms/step | TFLOP/s | % of v5e bf16 peak |"
+        "| step | GFLOP/step | ms/step | TFLOP/s | % of v5e bf16 peak "
+        "| GB/step | % of HBM roofline |"
     )
-    print("|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|")
     for name, row in record.items():
         flops = row.get("flops")
         dt = row.get("seconds_per_step")
         if flops is None or dt is None:
-            print(f"| {name} | (incomplete) | | | |")
+            print(f"| {name} | (incomplete) | | | | | |")
             continue
         tflops = flops / dt / 1e12
         pct = 100.0 * tflops / V5E_BF16_PEAK_TFLOPS
+        byt = row.get("bytes_accessed")
+        if byt is None:
+            hbm = "| |"
+        else:
+            hbm_pct = 100.0 * byt / 1e9 / dt / V5E_HBM_GBPS
+            hbm = f"| {byt / 1e9:.1f} | {hbm_pct:.0f}% |"
         print(
             f"| {name} | {flops / 1e9:.1f} | {dt * 1e3:.1f} "
-            f"| {tflops:.1f} | {pct:.0f}% |"
+            f"| {tflops:.1f} | {pct:.0f}% {hbm}"
         )
 
 

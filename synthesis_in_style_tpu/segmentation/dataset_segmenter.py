@@ -488,9 +488,10 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
     def _build_device_segment_fn(self):
         """ONE jitted program for the WHOLE segmentation: k-means assignment
         + cluster merge + rasterized contour back half
-        (segmentation.device_segmenter) — only the final (B, H, W, 3) uint8
-        color masks and (B,) drop flags cross to the host, instead of
-        layers x classes cluster masks + host contour work."""
+        (segmentation.device_segmenter) — only (B, H, W) uint8 palette
+        indices and (B,) drop flags cross to the host (the 3-byte RGB
+        palette is applied host-side), instead of layers x classes
+        cluster masks + host contour work."""
         from synthesis_in_style_tpu.segmentation.device_segmenter import (
             device_segment,
         )
@@ -499,12 +500,10 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         class_names = [
             n for n in self.class_to_color_map if n != "background"
         ]
-        colors = jnp.asarray(
-            np.stack(
-                [np.asarray(self.class_to_color_map["background"])]
-                + [np.asarray(self.class_to_color_map[c]) for c in class_names]
-            ).astype(np.uint8)
-        )
+        self._device_palette = np.stack(
+            [np.asarray(self.class_to_color_map["background"])]
+            + [np.asarray(self.class_to_color_map[c]) for c in class_names]
+        ).astype(np.uint8)
         coarse_keys = list(self.keys_for_class_determination)
         fine_keys = list(self.keys_for_finegrained_segmentation)
         keys_to_merge = dict(getattr(self, "keys_to_merge", {}))
@@ -547,7 +546,6 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
                 coarse,
                 fine_printed,
                 raw_fine,
-                colors,
                 only_keep_overlapping=only_keep,
                 min_area=min_area,
                 max_extent=max_extent,
@@ -568,9 +566,9 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         return self._device_segment_fn(acts)
 
     def finish_segment_on_device(self, pending) -> Tuple[np.ndarray, List[int]]:
-        images, drop = pending
+        idx, drop = pending
         drop_ids = [int(i) for i in np.flatnonzero(np.asarray(drop))]
-        return np.asarray(images), drop_ids
+        return self._device_palette[np.asarray(idx)], drop_ids
 
     def segment_prepared(
         self, predicted_clusters: PredictedClusters, batch_size: int

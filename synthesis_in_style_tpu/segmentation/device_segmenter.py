@@ -104,14 +104,15 @@ def device_segment(
     coarse: Array,  # (Lc, K, B, H, W) bool — text classes in class-id order
     fine_printed: Array,  # (Lf, B, H, W) bool — fine layers, printed class
     raw_fine_printed: Array,  # (B, H, W) bool — undilated last fine layer
-    colors: Array,  # (K + 1, 3) uint8 — background first, then text classes
     *,
     only_keep_overlapping: bool,
     min_area: int,
     max_extent: int,
 ) -> Tuple[Array, Array]:
-    """Full rasterized back half. Returns ((B, H, W, 3) uint8 color masks,
-    (B,) bool drop flags)."""
+    """Full rasterized back half. Returns ((B, H, W) uint8 palette
+    indices — 0 = background, text class ci -> ci + 1; the caller applies
+    the 3-byte color palette host-side so only 1 byte/px crosses the
+    device->host link — and (B,) bool drop flags)."""
     lc, k, b, h, w = coarse.shape
 
     # ---- coarse text regions per class (extract_text_regions, :42-58) ----
@@ -176,9 +177,8 @@ def device_segment(
         fine_fg & pixel_kept & raw_fine_printed.reshape(b, h * w)
     )  # (B, H*W)
     # color index: 0 = background, text class ci -> ci + 1
-    color_idx = jnp.where(paint, pixel_class + 1, 0)
-    images = colors[color_idx].reshape(b, h, w, 3)
-    return images, drop
+    color_idx = jnp.where(paint, pixel_class + 1, 0).astype(jnp.uint8)
+    return color_idx.reshape(b, h, w), drop
 
 
 def run_device_segment(
@@ -213,23 +213,20 @@ def run_device_segment(
     raw_fine = jnp.asarray(
         predicted_clusters[fine_layers[-1]]["printed_text"]
     )
-    colors = jnp.asarray(
-        np.stack(
-            [np.asarray(segmenter.class_to_color_map["background"])]
-            + [
-                np.asarray(segmenter.class_to_color_map[c])
-                for c in class_names
-            ]
-        ).astype(np.uint8)
-    )
-    images, drop = device_segment(
+    palette = np.stack(
+        [np.asarray(segmenter.class_to_color_map["background"])]
+        + [
+            np.asarray(segmenter.class_to_color_map[c])
+            for c in class_names
+        ]
+    ).astype(np.uint8)
+    idx, drop = device_segment(
         coarse,
         fine_printed,
         raw_fine,
-        colors,
         only_keep_overlapping=bool(segmenter.only_keep_overlapping),
         min_area=int(segmenter.min_class_contour_area),
         max_extent=int(segmenter.image_size * 0.95),
     )
     drop_ids = [int(i) for i in np.flatnonzero(np.asarray(drop))]
-    return np.asarray(images), drop_ids
+    return palette[np.asarray(idx)], drop_ids

@@ -20,6 +20,11 @@ class DocUFCNTrainBuilder(BaseTrainBuilder):
         return network_class(
             num_classes=self.config.get("num_classes", 3),
             input_channels=self.config.get("input_dim", 3),
+            # per-block remat (config key `remat`): memory lever for large
+            # batch/resolution — measured 0.81x on wall clock at 256px/b8
+            # (scripts/docufcn_roofline.py: recompute re-writes activations,
+            # raising HBM traffic), so off by default
+            remat=bool(self.config.get("remat", False)),
         )
 
     def _build_optimizer(self) -> optax.GradientTransformation:
@@ -45,4 +50,5 @@ class DocUFCNTrainBuilder(BaseTrainBuilder):
         return make_standard_train_step(
             self.network, tx, class_weights=weights,
             compute_dtype=self.config.get("compute_dtype"),
+            dropout_rng_impl=self.config.get("dropout_rng_impl"),
         )

@@ -66,6 +66,7 @@ class EMANetTrainBuilder(BaseTrainBuilder):
         return make_emanet_train_step(
             self.network, tx, em_mom=float(self.config.get("em_mom", 0.9)),
             compute_dtype=self.config.get("compute_dtype"),
+            dropout_rng_impl=self.config.get("dropout_rng_impl"),
         )
 
     def _predict_logits(self, state, images):

@@ -72,4 +72,5 @@ class TransUNetTrainBuilder(BaseTrainBuilder):
         return make_transunet_train_step(
             self.network, tx, num_classes=self.config["num_classes"],
             compute_dtype=self.config.get("compute_dtype"),
+            dropout_rng_impl=self.config.get("dropout_rng_impl"),
         )

@@ -63,6 +63,26 @@ def create_seg_train_state(
     )
 
 
+def _dropout_key(rng: Array, impl: Optional[str]) -> Array:
+    """Re-house the per-step key in another PRNG implementation for the
+    dropout stream. `impl="rbg"` uses the TPU's hardware RNG instruction —
+    dramatically cheaper on the VPU than threefry for the ~0.5G dropout
+    samples a DocUFCN 256px/b8 step draws (scripts/docufcn_roofline.py
+    measures the difference). Mask streams change (dropout needs no
+    cross-run bit-stability), param/init streams are untouched."""
+    if impl is None:
+        return rng
+    data = (
+        jax.random.key_data(rng)
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+        else rng
+    )
+    # threefry key data is 2x uint32, rbg wants 4x — tile it
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data])[:4], impl=impl
+    )
+
+
 def _apply_train(
     model, params, batch_stats, images, rng, compute_dtype=None,
     extra_inputs=(),
@@ -101,6 +121,7 @@ def make_standard_train_step(
     class_weights: Optional[Array] = None,
     donate: bool = True,
     compute_dtype: Optional[str] = None,
+    dropout_rng_impl: Optional[str] = None,
 ) -> Callable:
     """Weighted-CE step (reference StandardUpdater.update_core :19-39)."""
 
@@ -108,6 +129,8 @@ def make_standard_train_step(
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
+        rng = _dropout_key(rng, dropout_rng_impl)
+
         def loss_fn(params):
             logits, new_bs = _apply_train(
                 model, params, state.batch_stats, batch["images"], rng,
@@ -138,12 +161,15 @@ def make_transunet_train_step(
     num_classes: int,
     donate: bool = True,
     compute_dtype: Optional[str] = None,
+    dropout_rng_impl: Optional[str] = None,
 ) -> Callable:
     """0.5*CE + 0.5*Dice step (reference TransUNetUpdater :76-106)."""
 
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
+        rng = _dropout_key(rng, dropout_rng_impl)
+
         def loss_fn(params):
             logits, new_bs = _apply_train(
                 model, params, state.batch_stats, batch["images"], rng,
@@ -177,6 +203,7 @@ def make_emanet_train_step(
     em_mom: float = 0.9,
     donate: bool = True,
     compute_dtype: Optional[str] = None,
+    dropout_rng_impl: Optional[str] = None,
 ) -> Callable:
     """CE + EMAU µ moving-average step (reference EMANetUpdater :42-73).
     `state.extra` holds µ of shape (1, C, K); the model returns
@@ -185,6 +212,8 @@ def make_emanet_train_step(
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def train_step(state: SegTrainState, batch: Dict[str, Array], rng: Array):
+        rng = _dropout_key(rng, dropout_rng_impl)
+
         def loss_fn(params):
             (logits, mu_batch), new_bs = _apply_train(
                 model, params, state.batch_stats, batch["images"], rng,
