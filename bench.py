@@ -8,7 +8,7 @@ Measurement notes:
   configuration (per-sample style modulation and demodulation statistics stay
   float32 inside ModulatedConv2d; the convs ride the MXU in bf16). Measured
   progression on one v5e: f32/b16 1103 -> f32/b64 1199 -> bf16/b64 ~1476
-  img/s.
+  -> bf16/b64/rbg-noise 1504 img/s.
 * The reference publishes no numbers (BASELINE.md); `vs_baseline` is the
   ratio to a documented 60 img/s estimate for the reference's torch pipeline
   on a single V100-class GPU at 256px (batch inference incl. activation
@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 60.0  # documented estimate, see module docstring
+# round-2 sweep: b64/threefry 1471 -> b96 1493 -> b128 1495 -> b128/rbg 1503
+# img/s (b192 flat) — but b128 intermittently RESOURCE_EXHAUSTEDs over the
+# dev relay, so the bench stays at the always-safe b64 with the rbg
+# hardware-RNG noise stream (+1.3% measured at b64, a different-but-valid
+# noise stream).
 BATCH = 64
 N_ITERS = 30
 SIZE = 256
@@ -56,13 +61,13 @@ def main() -> None:
         return jax.lax.fori_loop(0, N_ITERS, body, jnp.zeros((), jnp.float32))
 
     # compile + warm up (fetch forces completion over the relay)
-    val = float(synth_loop(variables, jax.random.PRNGKey(2)))
+    val = float(synth_loop(variables, jax.random.key(2, impl="rbg")))
     assert val == val and val > 0, f"bad accumulator: {val}"
 
     best = 0.0
     for trial in range(3):
         t0 = time.perf_counter()
-        val = float(synth_loop(variables, jax.random.PRNGKey(3 + trial)))
+        val = float(synth_loop(variables, jax.random.key(3 + trial, impl="rbg")))
         dt = time.perf_counter() - t0
         assert val == val, "NaN accumulator"
         best = max(best, BATCH * N_ITERS / dt)
