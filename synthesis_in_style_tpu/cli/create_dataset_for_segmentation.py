@@ -169,32 +169,36 @@ def build_dataset(
             end="", flush=True,
         )
 
-    while generated < args.num_images or pending is not None:
-        # count the in-flight batch toward the target so the pipeline does
-        # not dispatch (and save) a whole extra batch beyond num_images —
-        # overshoot stays < batch_size, like the reference's serial loop;
-        # if drops shrink the in-flight batch the while-condition re-checks
-        # and dispatches more
-        in_flight = pending[2] if pending is not None else 0
-        if generated + in_flight < args.num_images:
-            z = next(latent_stream)
-            activations, images = generate(z)
-            batch_size = int(z.shape[0])
-            if use_device_contours:
-                masks = segmenter.begin_segment_on_device(activations)
-            elif can_pipeline:
-                masks = segmenter.begin_prepare(activations)
+    try:
+        while generated < args.num_images or pending is not None:
+            # count the in-flight batch toward the target so the pipeline
+            # does not dispatch (and save) a whole extra batch beyond
+            # num_images — overshoot stays < batch_size, like the
+            # reference's serial loop; if drops shrink the in-flight batch
+            # the while-condition re-checks and dispatches more
+            in_flight = pending[2] if pending is not None else 0
+            if generated + in_flight < args.num_images:
+                z = next(latent_stream)
+                activations, images = generate(z)
+                batch_size = int(z.shape[0])
+                if use_device_contours:
+                    masks = segmenter.begin_segment_on_device(activations)
+                elif can_pipeline:
+                    masks = segmenter.begin_prepare(activations)
+                else:
+                    masks = activations
+                new_pending = (images, masks, batch_size)
             else:
-                masks = activations
-            new_pending = (images, masks, batch_size)
-        else:
-            new_pending = None
-        if pending is not None:
-            process(pending)
-        pending = new_pending
-    print()
-    if contour_pool is not None:
-        contour_pool.shutdown()
+                new_pending = None
+            if pending is not None:
+                process(pending)
+            pending = new_pending
+        print()
+    finally:
+        # always reap the spawned workers — a crash/KeyboardInterrupt in the
+        # loop must not leak them
+        if contour_pool is not None:
+            contour_pool.shutdown()
 
 
 def create_dataset_json_data(

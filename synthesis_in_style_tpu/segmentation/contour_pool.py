@@ -45,8 +45,10 @@ class ContourWorkerPool:
     """Runs segmenter.segment_prepared sharded over worker processes.
 
     Drop-in for the in-process call: `pool.segment_prepared(predicted, B)`
-    returns the same ((B', H, W, 3) color masks, drop ids) with shard-local
-    drop ids remapped to batch indices.
+    returns the same ((B, H, W, 3) color masks for the FULL batch, drop ids)
+    contract as segmenter.segment_prepared — dropped images are NOT removed
+    here; the caller applies `np.delete(..., drop_ids)` (shard-local drop
+    ids are remapped to batch indices).
     """
 
     def __init__(self, segmenter, num_workers: int, shard_size: int = 2):

@@ -80,13 +80,14 @@ def _merge_layers(
     # original contours the merged region absorbed
     seeds = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
     roots = (layer_cc == seeds).reshape(l, b, h, w)
-    originals = component_sums(union_cc, jnp.any(roots, axis=0))
     if l > 1:
-        # any(roots) collapses same-pixel roots from different layers; count
-        # layers separately to match "originals" exactly
+        # count per layer: any(roots) would collapse same-pixel roots from
+        # different layers and undercount "originals"
         originals = sum(
             component_sums(union_cc, roots[i]) for i in range(l)
         )
+    else:
+        originals = component_sums(union_cc, roots[0])
     if only_keep_overlapping:
         originals = jnp.where(originals >= 2, originals, 0.0)
 

@@ -106,6 +106,7 @@ def _reassign_starved(
     return centers, counts
 
 
+@jax.jit
 def _minibatch_step(
     centers: jnp.ndarray,  # (K, D), unit norm
     counts: jnp.ndarray,  # (K,)
@@ -167,8 +168,12 @@ def _fit_epoch(
         idx = lax.dynamic_slice(perm, (s * bs,), (bs,))
         batch = x[idx]
         g = step_offset + s
+        # sklearn-0.24 cadence (reference spherical_kmeans.py:292-293):
+        # (iter + 1) % (10 + int(counts.min())) == 0 — the interval GROWS as
+        # counts accumulate, so reassignment tapers off late in a long fit
+        interval = reassign_every + jnp.floor(jnp.min(counts)).astype(jnp.int32)
         do_reassign = jnp.logical_and(
-            reassignment_ratio > 0, (g + 1) % reassign_every == 0
+            reassignment_ratio > 0, (g + 1) % interval == 0
         )
         centers, counts, inertia, sq_diff = _minibatch_step(
             centers, counts, batch, do_reassign,
@@ -197,8 +202,12 @@ class MiniBatchSphericalKMeans:
     `n_epochs` is a cap, not a fixed schedule: fit stops early when the
     exponentially-weighted batch inertia stops improving for
     `max_no_improvement` consecutive batches or (with `tol` > 0) when the
-    per-batch center movement falls below tol — the sklearn 0.24
-    MiniBatchKMeans convergence rule the reference inherits.
+    EWA-smoothed per-batch center movement falls below tol * mean feature
+    variance — the sklearn 0.24 MiniBatchKMeans convergence rule
+    (_mini_batch_convergence + _tolerance) the reference inherits;
+    iteration 0 is ignored, as sklearn does. `reassign_every` is the BASE
+    of the growing reassignment interval `base + int(min(counts))`
+    (reference spherical_kmeans.py:292-293).
     """
 
     def __init__(
@@ -257,9 +266,21 @@ class MiniBatchSphericalKMeans:
         # (a handful of head samples count twice in that epoch)
         steps_per_epoch = -(-n // bs)
 
-        # host-side EWA convergence state (sklearn _mini_batch_convergence)
+        # host-side EWA convergence state (sklearn 0.24
+        # _mini_batch_convergence, applied per-batch from the epoch traces):
+        # iteration 0 is IGNORED (inertia from initialization), tol is
+        # compared against the EWA-smoothed per-batch center movement, and —
+        # like sklearn's `_tolerance` — tol is scaled by the mean per-feature
+        # variance of the (normalized) data so the same tol value behaves
+        # consistently across feature scales
         alpha = min(float(bs) * 2.0 / (n + 1), 1.0)
+        tol_scaled = 0.0
+        if self.tol > 0:
+            tol_scaled = float(
+                jnp.mean(jnp.var(_l2_normalize(x), axis=0))
+            ) * self.tol
         ewa_inertia: Optional[float] = None
+        ewa_diff: Optional[float] = None
         ewa_min: Optional[float] = None
         no_improvement = 0
         global_step = 0
@@ -281,15 +302,21 @@ class MiniBatchSphericalKMeans:
             )
             # exact per-batch stopping rule, applied from the epoch trace
             for s in range(steps_per_epoch):
+                is_first = global_step == 0
                 global_step += 1
+                if is_first:
+                    continue  # sklearn ignores iteration 0
                 batch_inertia = float(inertias[s]) / bs
-                if self.tol > 0 and float(sq_diffs[s]) / bs <= self.tol:
-                    self._finish(centers_tr[s], counts_tr[s], global_step)
-                    return self
+                batch_diff = float(sq_diffs[s]) / bs
                 if ewa_inertia is None:
                     ewa_inertia = batch_inertia
+                    ewa_diff = batch_diff
                 else:
                     ewa_inertia = ewa_inertia * (1 - alpha) + batch_inertia * alpha
+                    ewa_diff = ewa_diff * (1 - alpha) + batch_diff * alpha
+                if self.tol > 0 and ewa_diff <= tol_scaled:
+                    self._finish(centers_tr[s], counts_tr[s], global_step)
+                    return self
                 if ewa_min is None or ewa_inertia < ewa_min:
                     ewa_min = ewa_inertia
                     no_improvement = 0
@@ -322,9 +349,15 @@ class MiniBatchSphericalKMeans:
             # resume with zero counts = full learning rate on the next batch
             self._counts = np.zeros((self.n_clusters,), np.float32)
         self.n_steps_ += 1
+        # reference partial_fit cadence (spherical_kmeans.py:363-366):
+        # stochastic, p = 1 / (10 * (1 + counts.min())) — tapers off as
+        # counts build up
+        rs = np.random.RandomState(self.seed + self.n_steps_)
         do_reassign = jnp.asarray(
             self.reassignment_ratio > 0
-            and self.n_steps_ % self.reassign_every == 0
+            and rs.randint(
+                self.reassign_every * (1 + int(self._counts.min()))
+            ) == 0
         )
         centers, counts, _, _ = _minibatch_step(
             jnp.asarray(self.cluster_centers_),

@@ -729,6 +729,15 @@ def gan_snapshot_tree_from_torch(
         else:
             d = torch_discriminator_to_flax(torch_ckpt["discriminator"])
         tree["discriminator"] = d["params"]
+    if not tree:
+        # a checkpoint with NO recognized network key would otherwise
+        # "restore" nothing silently (restore_gan_snapshot is key-optional
+        # by design) and a fine-tune would start from random init
+        raise KeyError(
+            "torch checkpoint has none of the expected keys "
+            "generator/discriminator/g_ema; found: "
+            f"{sorted(torch_ckpt)}"
+        )
     return tree
 
 

@@ -245,3 +245,19 @@ def test_restore_structured_matches_fields_by_name(tmp_path):
     bad = Tricky(zebra=jnp.zeros((3,)), alpha=jnp.zeros((2,)))
     with __import__("pytest").raises(AssertionError):
         restore_structured((bad, (), state[2]), loaded)
+
+
+def test_torch_checkpoint_without_known_keys_raises():
+    """A .pt with no generator/discriminator/g_ema key must raise, not
+    convert to an empty tree that restore_gan_snapshot silently ignores
+    (which would start a 'resumed' run from random init)."""
+    import numpy as np
+    import pytest
+
+    from synthesis_in_style_tpu.utils.checkpoint import (
+        gan_snapshot_tree_from_torch,
+    )
+
+    bogus = {"g": {"w": np.zeros(3)}, "state_dict": {"x": np.ones(2)}}
+    with pytest.raises(KeyError, match="generator/discriminator/g_ema"):
+        gan_snapshot_tree_from_torch(bogus)
