@@ -66,15 +66,17 @@ def _conv2d(
     x: Array,
     w: Array,
     stride: int = 1,
-    padding: int = 0,
+    padding=0,
     lhs_dilation: Optional[Tuple[int, int]] = None,
     rhs_dilation: Optional[Tuple[int, int]] = None,
 ) -> Array:
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=padding,
         lhs_dilation=lhs_dilation,
         rhs_dilation=rhs_dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -155,7 +157,9 @@ class ModulatedConv2d(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
 
     @nn.compact
-    def __call__(self, x: Array, style: Array) -> Array:
+    def __call__(
+        self, x: Array, style: Array, fused_tail: bool = False
+    ) -> Any:
         in_channel = x.shape[-1]
         k = self.kernel_size
         weight = self.param(
@@ -178,6 +182,31 @@ class ModulatedConv2d(nn.Module):
             demod = lax.rsqrt(sigma + 1e-8).astype(x.dtype)
 
         blur_k = make_kernel(list(self.blur_kernel))
+
+        if fused_tail:
+            # Pallas fused-blur producer mode (StyledConv only, upsample +
+            # k=3): emit the transposed conv with the width padding the
+            # fused kernel expects — one extra zero column left (the blur's
+            # left pad) and zero columns right up to the sublane tile (see
+            # ops/pallas/fused_blur.py). The extra columns fall in the
+            # conv's zero-pad region, so they are genuine zeros. Returns
+            # the pre-blur activations and the demod scales; the caller
+            # finishes blur+demod+noise+bias+act in one fused pass.
+            from synthesis_in_style_tpu.ops.pallas.fused_blur import padded_width
+
+            assert self.upsample and k == 3
+            h_in = 2 * x.shape[1] + 1
+            extra_r = padded_width(h_in) - h_in - 1
+            x = x * s[:, None, None, :].astype(x.dtype)
+            out = _conv2d(
+                x,
+                jnp.flip(w, (0, 1)),
+                padding=((k - 1, k - 1), (k, k - 1 + extra_r)),
+                lhs_dilation=(2, 2),
+            )
+            if demod is None:
+                demod = jnp.ones((x.shape[0], self.out_channel), x.dtype)
+            return out, demod
 
         if self.upsample:
             x = x * s[:, None, None, :].astype(x.dtype)
@@ -210,11 +239,30 @@ class ModulatedConv2d(nn.Module):
 
 class NoiseInjection(nn.Module):
     """Adds learned-scale spatial noise (reference NoiseInjection,
-    model.py:281-292). Noise shape (B, H, W, 1)."""
+    model.py:281-292). Noise shape (B, H, W, 1).
+
+    `plane_shape` mode returns the scaled (B, H, W) noise plane instead of
+    adding it — the fused Pallas blur epilogue injects it itself. The rng
+    call site is the same module/stream, so fused and unfused paths draw
+    bit-identical noise."""
 
     @nn.compact
-    def __call__(self, image: Array, noise: Optional[Array] = None) -> Array:
+    def __call__(
+        self,
+        image: Optional[Array],
+        noise: Optional[Array] = None,
+        plane_shape: Optional[Tuple[int, int, int]] = None,
+        dtype: Any = None,
+    ) -> Array:
         weight = self.param("weight", nn.initializers.zeros, (1,))
+        if plane_shape is not None:
+            b, h, w = plane_shape
+            if noise is None:
+                noise = jax.random.normal(
+                    self.make_rng("noise"), (b, h, w, 1), dtype
+                )
+            noise = jnp.broadcast_to(noise.astype(dtype), (b, h, w, 1))
+            return (weight.astype(dtype) * noise)[..., 0]
         if noise is None:
             b, h, w, _ = image.shape
             noise = jax.random.normal(
@@ -225,26 +273,73 @@ class NoiseInjection(nn.Module):
 
 class StyledConv(nn.Module):
     """ModulatedConv2d → noise injection → fused bias+LeakyReLU
-    (reference StyledConv, model.py:308-342)."""
+    (reference StyledConv, model.py:308-342).
+
+    With `fused_blur` (upsample convs on TPU), the conv tail — FIR blur,
+    demodulation, noise, bias, LeakyReLU — runs as ONE Pallas kernel pass
+    (ops/pallas/fused_blur.py) instead of a depthwise-conv pass plus an
+    elementwise pass. Same parameters, same rng stream, bf16-rounding-level
+    numerics; shapes the kernel does not support fall back transparently."""
 
     out_channel: int
     kernel_size: int
     upsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     demodulate: bool = True
+    fused_blur: bool = False
+
+    def _fused_eligible(self, x: Array) -> bool:
+        return (
+            self.fused_blur
+            and self.upsample
+            and self.kernel_size == 3
+            and len(self.blur_kernel) == 4
+            and self.out_channel % 128 == 0
+            and 2 * x.shape[1] + 1 >= 17
+            and x.shape[1] == x.shape[2]
+        )
 
     @nn.compact
     def __call__(self, x: Array, style: Array, noise: Optional[Array] = None) -> Array:
-        out = ModulatedConv2d(
+        conv = ModulatedConv2d(
             self.out_channel,
             self.kernel_size,
             demodulate=self.demodulate,
             upsample=self.upsample,
             blur_kernel=self.blur_kernel,
             name="conv",
-        )(x, style)
-        out = NoiseInjection(name="noise")(out, noise)
+        )
         bias = self.param("bias", nn.initializers.zeros, (self.out_channel,))
+
+        if self._fused_eligible(x):
+            from synthesis_in_style_tpu.ops.pallas.fused_blur import (
+                blur_demod_noise_bias_act,
+            )
+
+            out, demod = conv(x, style, fused_tail=True)
+            b = x.shape[0]
+            h = 2 * x.shape[1]
+            plane = NoiseInjection(name="noise")(
+                None, noise, plane_shape=(b, h, h), dtype=out.dtype
+            )
+            gain = 2.0  # per-axis sqrt(up_factor**2)
+            taps = tuple(
+                gain * float(t) / sum(self.blur_kernel) for t in self.blur_kernel
+            )
+            # nondiff args passed positionally (custom_jvp requirement)
+            return blur_demod_noise_bias_act(
+                out,
+                demod,
+                plane,
+                bias.astype(out.dtype),
+                taps,
+                0.2,
+                math.sqrt(2.0),
+                jax.default_backend() != "tpu",
+            )
+
+        out = conv(x, style)
+        out = NoiseInjection(name="noise")(out, noise)
         return fused_leaky_relu(out, bias.astype(out.dtype))
 
 
@@ -300,6 +395,10 @@ class Generator(nn.Module):
     channel_multiplier: int = 2
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
+    # Run the upsample StyledConv tails as one fused Pallas pass
+    # (ops/pallas/fused_blur.py). Bit-different only at bf16 rounding;
+    # intended for TPU synthesis workloads (bench, dataset generation).
+    fused_blur: bool = False
 
     @property
     def log_size(self) -> int:
@@ -348,7 +447,11 @@ class Generator(nn.Module):
             out_channel = channels[2**res_log]
             convs.append(
                 StyledConv(
-                    out_channel, 3, upsample=True, blur_kernel=self.blur_kernel
+                    out_channel,
+                    3,
+                    upsample=True,
+                    blur_kernel=self.blur_kernel,
+                    fused_blur=self.fused_blur,
                 )
             )
             convs.append(

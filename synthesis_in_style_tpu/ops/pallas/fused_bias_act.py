@@ -26,11 +26,14 @@ _LANES = 128
 
 def _fwd_kernel(x_ref, b_ref, y_ref, *, slope, scale):
     x = x_ref[:] + b_ref[:]
-    y_ref[:] = jnp.where(x >= 0, x, x * slope) * scale
+    # Mosaic rejects bf16 vector compares on v5e ("Target does not support
+    # this comparison") — compare in f32.
+    mask = x.astype(jnp.float32) >= 0
+    y_ref[:] = jnp.where(mask, x, x * slope) * scale
 
 
 def _bwd_kernel(y_ref, g_ref, dx_ref, *, slope, scale):
-    mask = y_ref[:] >= 0
+    mask = y_ref[:].astype(jnp.float32) >= 0
     dx_ref[:] = jnp.where(mask, g_ref[:] * scale, g_ref[:] * (slope * scale))
 
 
