@@ -1,0 +1,296 @@
+// Native contour engine for cluster-based label synthesis.
+//
+// Implements the host-side hot spots of segmentation/contours.py with the
+// SAME OpenCV primitives the Python path uses (raster-level behavioral
+// parity with the reference pipeline,
+// stylegan_code_finder/segmentation/base_cluster_based_dataset_segmenter.py:148-450):
+//
+//   * sis_dilate_find_contours : per-mask 3x3-cross dilation + external
+//     contours (CHAIN_APPROX_SIMPLE), batched over a mask stack.
+//   * sis_merge_contours       : the transitive-overlap merge fixpoint
+//     (bbox prefilter -> pairwise raster overlap -> union-find -> group
+//     union raster -> external contours, repeated until stable).
+//   * sis_overlap_counts       : pairwise filled-overlap pixel counts
+//     between two contour sets (the classification ranking kernel).
+//
+// The profiled Python implementation spends its time in per-pair Python
+// orchestration around tiny cv2 calls; moving the loops here removes that
+// overhead and — because ctypes releases the GIL — makes the existing
+// thread-pool orchestration scale across host cores without the
+// multiprocess pool's pickling tax (see MEASUREMENTS.md).
+//
+// Packed contour-set ABI (all buffers caller-allocated):
+//   points  : int32[total_pts * 2]  (x, y)
+//   offsets : int64[n_contours + 1] (contour i = points[offsets[i]:offsets[i+1]])
+// Functions needing output space return 1 if the provided capacity was too
+// small (caller doubles and retries), 0 on success, negative on error.
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgproc.hpp>
+
+#include <algorithm>
+#include <cstdint>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct ContourSet {
+    const int32_t* pts;
+    const int64_t* offs;
+    int32_t n;
+
+    int64_t size(int32_t i) const { return (offs[i + 1] - offs[i]) / 2; }
+    std::vector<cv::Point> contour(int32_t i) const {
+        std::vector<cv::Point> c;
+        c.reserve(size(i));
+        for (int64_t p = offs[i]; p < offs[i + 1]; p += 2) {
+            c.emplace_back(pts[p], pts[p + 1]);
+        }
+        return c;
+    }
+};
+
+cv::Rect bounds_of(const std::vector<cv::Point>& c) {
+    return cv::boundingRect(c);
+}
+
+// Strict-inequality bbox overlap, matching the reference
+// BBox.is_overlapping_with (utils/segmentation_utils.py:52-56): boxes that
+// merely touch at their extreme row/column do NOT overlap. boundingRect is
+// [x, x+w) exclusive, the Python code uses inclusive maxima — so the
+// reference test a.x_min < b.x_max (inclusive) becomes a.x < b.x + b.w - 1.
+bool bboxes_overlap(const cv::Rect& a, const cv::Rect& b) {
+    return a.x < b.x + b.width - 1 && a.x + a.width - 1 > b.x &&
+           a.y < b.y + b.height - 1 && a.y + a.height - 1 > b.y;
+}
+
+int64_t overlap_count(const std::vector<cv::Point>& a, const cv::Rect& ra,
+                      const std::vector<cv::Point>& b, const cv::Rect& rb) {
+    if (!bboxes_overlap(ra, rb)) return 0;
+    cv::Rect joint = ra | rb;
+    cv::Mat ca = cv::Mat::zeros(joint.height, joint.width, CV_8U);
+    cv::Mat cb = cv::Mat::zeros(joint.height, joint.width, CV_8U);
+    std::vector<std::vector<cv::Point>> wrap(1);
+    wrap[0] = a;
+    cv::drawContours(ca, wrap, 0, cv::Scalar(1), cv::FILLED, cv::LINE_8,
+                     cv::noArray(), INT_MAX, cv::Point(-joint.x, -joint.y));
+    wrap[0] = b;
+    cv::drawContours(cb, wrap, 0, cv::Scalar(1), cv::FILLED, cv::LINE_8,
+                     cv::noArray(), INT_MAX, cv::Point(-joint.x, -joint.y));
+    cv::Mat both;
+    cv::bitwise_and(ca, cb, both);
+    return cv::countNonZero(both);
+}
+
+struct UnionFind {
+    std::vector<int> parent;
+    explicit UnionFind(int n) : parent(n) {
+        std::iota(parent.begin(), parent.end(), 0);
+    }
+    int find(int i) {
+        while (parent[i] != i) {
+            parent[i] = parent[parent[i]];
+            i = parent[i];
+        }
+        return i;
+    }
+    void unite(int a, int b) {
+        int ra = find(a), rb = find(b);
+        if (ra != rb) parent[rb] = ra;
+    }
+};
+
+struct Item {
+    std::vector<cv::Point> contour;
+    bool multi;  // absorbed more than one original contour
+};
+
+// External contours of the union raster of a group (reference
+// draw_contours_on_same_sized_canvases + findContours composition).
+std::vector<std::vector<cv::Point>> merge_group(
+    const std::vector<const std::vector<cv::Point>*>& group) {
+    cv::Rect joint = bounds_of(*group[0]);
+    for (size_t i = 1; i < group.size(); ++i) joint |= bounds_of(*group[i]);
+    cv::Mat canvas = cv::Mat::zeros(joint.height, joint.width, CV_8U);
+    std::vector<std::vector<cv::Point>> wrap(1);
+    for (const auto* c : group) {
+        wrap[0] = *c;
+        cv::drawContours(canvas, wrap, 0, cv::Scalar(255), cv::FILLED,
+                         cv::LINE_8, cv::noArray(), INT_MAX,
+                         cv::Point(-joint.x, -joint.y));
+    }
+    std::vector<std::vector<cv::Point>> merged;
+    cv::findContours(canvas, merged, cv::RETR_EXTERNAL,
+                     cv::CHAIN_APPROX_NONE);
+    for (auto& c : merged) {
+        for (auto& p : c) {
+            p.x += joint.x;
+            p.y += joint.y;
+        }
+    }
+    return merged;
+}
+
+int write_out(const std::vector<Item>& items, bool only_keep_overlapping,
+              int32_t* out_pts, int64_t out_pts_cap, int64_t* out_offs,
+              int32_t out_offs_cap, int32_t* out_n) {
+    int64_t pos = 0;
+    int32_t n = 0;
+    for (const auto& it : items) {
+        if (only_keep_overlapping && !it.multi) continue;
+        if (n + 1 >= out_offs_cap) return 1;
+        if (pos + static_cast<int64_t>(it.contour.size()) * 2 > out_pts_cap)
+            return 1;
+        out_offs[n] = pos;
+        for (const auto& p : it.contour) {
+            out_pts[pos++] = p.x;
+            out_pts[pos++] = p.y;
+        }
+        ++n;
+    }
+    out_offs[n] = pos;
+    *out_n = n;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-mask 3x3-cross dilation + external contours over a (N, H, W) uint8
+// stack. Output contour sets are concatenated; mask_offs (int32[N+1]) maps
+// mask i to its contour index range.
+int sis_dilate_find_contours(const uint8_t* masks, int32_t n_masks,
+                             int32_t height, int32_t width, int32_t* out_pts,
+                             int64_t out_pts_cap, int64_t* out_offs,
+                             int32_t out_offs_cap, int32_t* mask_offs,
+                             int32_t* out_n) {
+    cv::Mat kernel =
+        cv::getStructuringElement(cv::MORPH_CROSS, cv::Size(3, 3));
+    int64_t pos = 0;
+    int32_t n = 0;
+    for (int32_t m = 0; m < n_masks; ++m) {
+        mask_offs[m] = n;
+        cv::Mat img(height, width, CV_8U,
+                    const_cast<uint8_t*>(masks) +
+                        static_cast<int64_t>(m) * height * width);
+        cv::Mat dilated;
+        cv::morphologyEx(img, dilated, cv::MORPH_DILATE, kernel);
+        std::vector<std::vector<cv::Point>> contours;
+        cv::findContours(dilated, contours, cv::RETR_EXTERNAL,
+                         cv::CHAIN_APPROX_SIMPLE);
+        for (const auto& c : contours) {
+            if (n + 1 >= out_offs_cap) return 1;
+            if (pos + static_cast<int64_t>(c.size()) * 2 > out_pts_cap)
+                return 1;
+            out_offs[n] = pos;
+            for (const auto& p : c) {
+                out_pts[pos++] = p.x;
+                out_pts[pos++] = p.y;
+            }
+            ++n;
+        }
+    }
+    mask_offs[n_masks] = n;
+    out_offs[n] = pos;
+    *out_n = n;
+    return 0;
+}
+
+// Fixpoint merge of transitively-overlapping contours (reference
+// merge_contours semantics via the round-based union-find formulation the
+// Python engine uses — raster-identical, see contours.py module docstring).
+int sis_merge_contours(const int32_t* pts, const int64_t* offs,
+                       int32_t n_contours, int32_t only_keep_overlapping,
+                       int32_t* out_pts, int64_t out_pts_cap,
+                       int64_t* out_offs, int32_t out_offs_cap,
+                       int32_t* out_n) {
+    ContourSet in{pts, offs, n_contours};
+    std::vector<Item> items;
+    items.reserve(n_contours);
+    for (int32_t i = 0; i < n_contours; ++i) {
+        items.push_back({in.contour(i), false});
+    }
+
+    bool changed = true;
+    while (changed && items.size() > 1) {
+        changed = false;
+        const int n = static_cast<int>(items.size());
+        UnionFind uf(n);
+        std::vector<cv::Rect> bounds(n);
+        for (int i = 0; i < n; ++i) bounds[i] = bounds_of(items[i].contour);
+        for (int i = 0; i < n; ++i) {
+            for (int j = i + 1; j < n; ++j) {
+                if (uf.find(i) == uf.find(j)) continue;
+                if (!bboxes_overlap(bounds[i], bounds[j])) continue;
+                if (overlap_count(items[i].contour, bounds[i],
+                                  items[j].contour, bounds[j]) > 0) {
+                    uf.unite(i, j);
+                    changed = true;
+                }
+            }
+        }
+        if (!changed) break;
+        // Groups in FIRST-MEMBER order (the Python engine's dict insertion
+        // order), not union-find root order — keeps the output list order
+        // identical to the pure path.
+        std::vector<std::vector<int>> by_root(n);
+        std::vector<int> order;
+        order.reserve(n);
+        for (int i = 0; i < n; ++i) {
+            int r = uf.find(i);
+            if (by_root[r].empty()) order.push_back(r);
+            by_root[r].push_back(i);
+        }
+        std::vector<Item> next;
+        next.reserve(items.size());
+        for (int r : order) {
+            const auto& members = by_root[r];
+            if (members.size() == 1) {
+                next.push_back(std::move(items[members[0]]));
+                continue;
+            }
+            bool multi = members.size() > 1;
+            std::vector<const std::vector<cv::Point>*> group;
+            group.reserve(members.size());
+            for (int m : members) group.push_back(&items[m].contour);
+            for (auto& c : merge_group(group)) {
+                next.push_back({std::move(c), multi});
+            }
+        }
+        items = std::move(next);
+    }
+
+    return write_out(items, only_keep_overlapping != 0, out_pts, out_pts_cap,
+                     out_offs, out_offs_cap, out_n);
+}
+
+// Pairwise filled-overlap pixel counts between contour sets A and B,
+// written row-major into out[n_a * n_b] (the classification ranking and
+// handwriting-threshold kernels; reference contour_overlap :156-181).
+int sis_overlap_counts(const int32_t* pts_a, const int64_t* offs_a,
+                       int32_t n_a, const int32_t* pts_b,
+                       const int64_t* offs_b, int32_t n_b, int64_t* out) {
+    ContourSet A{pts_a, offs_a, n_a};
+    ContourSet B{pts_b, offs_b, n_b};
+    std::vector<std::vector<cv::Point>> as(n_a), bs(n_b);
+    std::vector<cv::Rect> ra(n_a), rb(n_b);
+    for (int32_t i = 0; i < n_a; ++i) {
+        as[i] = A.contour(i);
+        ra[i] = bounds_of(as[i]);
+    }
+    for (int32_t j = 0; j < n_b; ++j) {
+        bs[j] = B.contour(j);
+        rb[j] = bounds_of(bs[j]);
+    }
+    for (int32_t i = 0; i < n_a; ++i) {
+        for (int32_t j = 0; j < n_b; ++j) {
+            out[static_cast<int64_t>(i) * n_b + j] =
+                overlap_count(as[i], ra[i], bs[j], rb[j]);
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -35,6 +35,22 @@ import numpy as np
 # reference ran everything on one thread).
 _POOL = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
 
+# The native C++ engine (native/contour_engine.cpp) implements the hot
+# primitives — batched dilate+findContours, the merge fixpoint, pairwise
+# overlap counts — with the same OpenCV calls, bit-identical outputs
+# (tests/test_contour_native.py), and no per-pair Python overhead. ctypes
+# calls release the GIL, so the thread pool above scales across cores
+# without the multiprocess pool's pickling tax. Pure fallback everywhere.
+_NATIVE_DISABLED = bool(os.environ.get("SIS_DISABLE_NATIVE_CONTOURS"))
+
+
+def _native():
+    if _NATIVE_DISABLED:
+        return None
+    from synthesis_in_style_tpu.native.contour_engine import get_contour_engine
+
+    return get_contour_engine()
+
 
 def _parallel_map(fn, items):
     items = list(items)
@@ -62,6 +78,15 @@ def dilate_image(
 def cluster_image_to_contours(cluster_arrays: np.ndarray) -> List[List[Contour]]:
     """Dilate each (H, W) mask then take external contours (reference
     base_cluster_based_dataset_segmenter.py:148-154); images in parallel."""
+    lib = _native()
+    if lib is not None and getattr(cluster_arrays, "ndim", 0) == 3:
+        from synthesis_in_style_tpu.native.contour_engine import (
+            dilate_find_contours_native,
+        )
+
+        return dilate_find_contours_native(
+            lib, np.ascontiguousarray(cluster_arrays, dtype=np.uint8)
+        )
 
     def one(image):
         dilated = dilate_image(np.ascontiguousarray(image, dtype=np.uint8))
@@ -165,6 +190,13 @@ def merge_contours(
     """Fixpoint-merge all transitively-overlapping contours (reference
     merge_contours, :208-222). With only_keep_overlapping, return only
     contours that absorbed at least two originals."""
+    lib = _native()
+    if lib is not None:
+        from synthesis_in_style_tpu.native.contour_engine import (
+            merge_contours_native,
+        )
+
+        return merge_contours_native(lib, contours, only_keep_overlapping)
     # items: (set of original ids, contour)
     items: List[Tuple[frozenset, Contour]] = [
         (frozenset([i]), c) for i, c in enumerate(contours)
@@ -307,11 +339,25 @@ def classify_fine_grained_contours(
     ranking: Dict[int, Dict[int, Dict[str, int]]] = {
         i: defaultdict(dict) for i in range(batch_size)
     }
+    lib = _native()
     for class_name, text_regions_batch in text_regions_per_class.items():
         for batch_id, (text_regions, fine_contours) in enumerate(
             zip(text_regions_batch, fine_batches)
         ):
             if text_regions is None or fine_contours is None or len(fine_contours) == 0:
+                continue
+            if lib is not None:
+                from synthesis_in_style_tpu.native.contour_engine import (
+                    overlap_counts_native,
+                )
+
+                counts = overlap_counts_native(
+                    lib, fine_contours, text_regions
+                ).sum(axis=1)
+                for contour_id, total in enumerate(counts):
+                    per_contour = ranking[batch_id][contour_id]
+                    per_contour.setdefault(class_name, 0)
+                    per_contour[class_name] += int(total)
                 continue
             for contour_id, fine_contour in enumerate(fine_contours):
                 per_contour = ranking[batch_id][contour_id]
