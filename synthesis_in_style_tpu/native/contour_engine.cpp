@@ -293,4 +293,60 @@ int sis_overlap_counts(const int32_t* pts_a, const int64_t* offs_a,
     return 0;
 }
 
+// Segmentation-image painter (reference base_cluster_based_dataset_
+// segmenter.py:408-450 / contours.py render_segmentation_image): canvas is
+// background-colored; each contour, in caller-given order, rasterizes
+// filled on the full image, is ANDed with the fine cluster mask of its
+// image, and paints its class color. Later contours win on overlap —
+// identical to the Python paint order when the caller flattens
+// (class in fine-mask order) x (contour list order) per image.
+int sis_render(const int32_t* pts, const int64_t* offs,
+               const int32_t* contour_image, const int32_t* contour_color,
+               int32_t n_contours, const uint8_t* fine_mask, int32_t batch,
+               int32_t size, const uint8_t* colors, int32_t n_colors,
+               uint8_t* out) {
+    const int64_t plane = static_cast<int64_t>(size) * size;
+    // background fill
+    for (int32_t b = 0; b < batch; ++b) {
+        uint8_t* img = out + b * plane * 3;
+        for (int64_t p = 0; p < plane; ++p) {
+            img[p * 3 + 0] = colors[0];
+            img[p * 3 + 1] = colors[1];
+            img[p * 3 + 2] = colors[2];
+        }
+    }
+    ContourSet in{pts, offs, n_contours};
+    std::vector<std::vector<cv::Point>> wrap(1);
+    for (int32_t i = 0; i < n_contours; ++i) {
+        const int32_t b = contour_image[i];
+        const int32_t color_id = contour_color[i];
+        if (b < 0 || b >= batch || color_id < 0 || color_id >= n_colors)
+            return -2;
+        wrap[0] = in.contour(i);
+        // paint only inside the contour's (clamped) bounding box
+        cv::Rect r = bounds_of(wrap[0]) & cv::Rect(0, 0, size, size);
+        if (r.empty()) continue;
+        cv::Mat cmask = cv::Mat::zeros(r.height, r.width, CV_8U);
+        cv::drawContours(cmask, wrap, 0, cv::Scalar(1), cv::FILLED,
+                         cv::LINE_8, cv::noArray(), INT_MAX,
+                         cv::Point(-r.x, -r.y));
+        const uint8_t* fine = fine_mask + b * plane;
+        uint8_t* img = out + b * plane * 3;
+        const uint8_t* col = colors + static_cast<int64_t>(color_id) * 3;
+        for (int32_t y = 0; y < r.height; ++y) {
+            const uint8_t* mrow = cmask.ptr<uint8_t>(y);
+            const int64_t base = static_cast<int64_t>(r.y + y) * size + r.x;
+            for (int32_t x = 0; x < r.width; ++x) {
+                if (mrow[x] && fine[base + x]) {
+                    uint8_t* px = img + (base + x) * 3;
+                    px[0] = col[0];
+                    px[1] = col[1];
+                    px[2] = col[2];
+                }
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -89,6 +89,12 @@ def get_contour_engine() -> Optional[ctypes.CDLL]:
         _I32P, _I64P, ctypes.c_int32,
         _I32P, _I64P, ctypes.c_int32, _I64P,
     ]
+    lib.sis_render.restype = ctypes.c_int
+    lib.sis_render.argtypes = [
+        _I32P, _I64P, _I32P, _I32P, ctypes.c_int32,
+        _U8P, ctypes.c_int32, ctypes.c_int32,
+        _U8P, ctypes.c_int32, _U8P,
+    ]
     _lib = lib
     return _lib
 
@@ -174,6 +180,34 @@ def overlap_counts_native(
     )
     if rc != 0:
         raise RuntimeError(f"sis_overlap_counts failed rc={rc}")
+    return out
+
+
+def render_native(
+    lib: ctypes.CDLL,
+    contours: Sequence[np.ndarray],
+    contour_image: np.ndarray,  # int32 (n,) batch id per contour
+    contour_color: np.ndarray,  # int32 (n,) color-table row per contour
+    fine_mask: np.ndarray,  # uint8 (B, S, S) cluster mask
+    colors: np.ndarray,  # uint8 (n_colors, 3); row 0 = background
+) -> np.ndarray:
+    """Paint (contour AND fine-mask) pixels per class onto background-
+    colored canvases; contours paint in list order (later wins)."""
+    points, offsets = pack_contours(contours)
+    fine_mask = np.ascontiguousarray(fine_mask, np.uint8)
+    colors = np.ascontiguousarray(colors, np.uint8)
+    batch, size, _ = fine_mask.shape
+    out = np.empty((batch, size, size, 3), np.uint8)
+    rc = lib.sis_render(
+        _ptr(points, _I32P), _ptr(offsets, _I64P),
+        _ptr(np.ascontiguousarray(contour_image, np.int32), _I32P),
+        _ptr(np.ascontiguousarray(contour_color, np.int32), _I32P),
+        ctypes.c_int32(len(contours)),
+        _ptr(fine_mask, _U8P), ctypes.c_int32(batch), ctypes.c_int32(size),
+        _ptr(colors, _U8P), ctypes.c_int32(len(colors)), _ptr(out, _U8P),
+    )
+    if rc != 0:
+        raise RuntimeError(f"sis_render failed rc={rc}")
     return out
 
 

@@ -397,6 +397,48 @@ def render_segmentation_image(
         name: np.asarray(mask) for name, mask in fine_grained_prediction.items()
     }
 
+    lib = _native()
+    if lib is not None:
+        from synthesis_in_style_tpu.native.contour_engine import render_native
+
+        # Flatten in the pure path's exact paint order — per image:
+        # fine-mask class order, then contour list order (later wins).
+        color_rows = [np.asarray(class_to_color_map["background"], np.uint8)]
+        flat: List[Contour] = []
+        image_ids: List[int] = []
+        color_ids: List[int] = []
+        for class_name in fine_masks:
+            if class_name == "background":
+                continue
+            batch_contours = classified_contours.get(class_name)
+            if not batch_contours:
+                continue
+            color_rows.append(
+                np.asarray(class_to_color_map[class_name], np.uint8)
+            )
+            cid = len(color_rows) - 1
+            for batch_id in range(batch_size):
+                contours = batch_contours[batch_id]
+                if contours is None:
+                    continue
+                for contour in contours:
+                    flat.append(contour)
+                    image_ids.append(batch_id)
+                    color_ids.append(cid)
+        fine = fine_masks[cluster_class_name].astype(np.uint8)
+        if fine.shape[0] != batch_size:
+            fine = np.broadcast_to(
+                fine, (batch_size,) + fine.shape[1:]
+            ).copy()
+        return render_native(
+            lib,
+            flat,
+            np.asarray(image_ids, np.int32),
+            np.asarray(color_ids, np.int32),
+            fine,
+            np.stack(color_rows),
+        )
+
     def render_one(batch_id: int) -> np.ndarray:
         canvas = np.zeros((image_size, image_size, 3), np.uint8)
         canvas[:, :] = class_to_color_map["background"]
