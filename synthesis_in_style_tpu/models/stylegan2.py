@@ -289,14 +289,21 @@ class StyledConv(nn.Module):
     fused_blur: bool = False
 
     def _fused_eligible(self, x: Array) -> bool:
+        from synthesis_in_style_tpu.ops.pallas.fused_blur import (
+            padded_width,
+            supported_shape,
+        )
+
+        h_in = 2 * x.shape[1] + 1
         return (
             self.fused_blur
             and self.upsample
             and self.kernel_size == 3
             and len(self.blur_kernel) == 4
-            and self.out_channel % 128 == 0
-            and 2 * x.shape[1] + 1 >= 17
             and x.shape[1] == x.shape[2]
+            and supported_shape(
+                (x.shape[0], h_in, padded_width(h_in), self.out_channel)
+            )
         )
 
     @nn.compact

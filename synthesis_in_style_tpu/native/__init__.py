@@ -9,7 +9,6 @@ PIL when no compiler is available.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -23,37 +22,21 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
-def _build_library() -> bool:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", str(_SOURCE_PATH),
-        "-o", str(_LIB_PATH), "-lz", "-lpthread",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (OSError, subprocess.SubprocessError):
-        return False
-
-
 def get_fastpng() -> Optional[ctypes.CDLL]:
     """Load (compiling if needed) the fastpng library; None if unavailable."""
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists() or (
-        _SOURCE_PATH.exists()
-        and _SOURCE_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
-    ):
-        if not _build_library() and not _LIB_PATH.exists():
-            # no compiler AND no prebuilt library; a stale-but-present .so
-            # (mtimes after a fresh clone are arbitrary) is still loaded
-            _load_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
-        _load_failed = True
-        return None
+    from synthesis_in_style_tpu.native._build import load_native
+
+    _lib = load_native(
+        _SOURCE_PATH, _LIB_PATH, ["-lz", "-lpthread"], _bind
+    )
+    _load_failed = _lib is None
+    return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     lib.fastpng_encode.restype = ctypes.c_int
     lib.fastpng_encode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -68,8 +51,6 @@ def get_fastpng() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.c_int,
     ]
-    _lib = lib
-    return _lib
 
 
 def encode_png(image: np.ndarray, compression: int = 6) -> Optional[bytes]:

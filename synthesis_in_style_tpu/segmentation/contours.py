@@ -340,32 +340,47 @@ def classify_fine_grained_contours(
         i: defaultdict(dict) for i in range(batch_size)
     }
     lib = _native()
-    for class_name, text_regions_batch in text_regions_per_class.items():
-        for batch_id, (text_regions, fine_contours) in enumerate(
-            zip(text_regions_batch, fine_batches)
-        ):
-            if text_regions is None or fine_contours is None or len(fine_contours) == 0:
-                continue
-            if lib is not None:
-                from synthesis_in_style_tpu.native.contour_engine import (
-                    overlap_counts_native,
-                )
+    if lib is not None:
+        from synthesis_in_style_tpu.native.contour_engine import (
+            overlap_counts_packed_native,
+            pack_contours,
+        )
 
-                counts = overlap_counts_native(
-                    lib, fine_contours, text_regions
+        # batch-outer so each image's fine contour set is packed ONCE and
+        # reused against every class's text regions
+        for batch_id, fine_contours in enumerate(fine_batches):
+            if fine_contours is None or len(fine_contours) == 0:
+                continue
+            fine_packed = pack_contours(fine_contours)
+            for class_name, text_regions_batch in text_regions_per_class.items():
+                text_regions = text_regions_batch[batch_id]
+                if text_regions is None:
+                    continue
+                counts = overlap_counts_packed_native(
+                    lib, fine_packed, len(fine_contours), text_regions
                 ).sum(axis=1)
                 for contour_id, total in enumerate(counts):
                     per_contour = ranking[batch_id][contour_id]
                     per_contour.setdefault(class_name, 0)
                     per_contour[class_name] += int(total)
-                continue
-            for contour_id, fine_contour in enumerate(fine_contours):
-                per_contour = ranking[batch_id][contour_id]
-                per_contour.setdefault(class_name, 0)
-                for text_region in text_regions:
-                    per_contour[class_name] += contour_overlap(
-                        fine_contour, text_region
-                    )
+    else:
+        for class_name, text_regions_batch in text_regions_per_class.items():
+            for batch_id, (text_regions, fine_contours) in enumerate(
+                zip(text_regions_batch, fine_batches)
+            ):
+                if (
+                    text_regions is None
+                    or fine_contours is None
+                    or len(fine_contours) == 0
+                ):
+                    continue
+                for contour_id, fine_contour in enumerate(fine_contours):
+                    per_contour = ranking[batch_id][contour_id]
+                    per_contour.setdefault(class_name, 0)
+                    for text_region in text_regions:
+                        per_contour[class_name] += contour_overlap(
+                            fine_contour, text_region
+                        )
 
     classified: ClassContours = {
         class_name: [[] for _ in range(batch_size)]
