@@ -50,7 +50,16 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--batches", type=int, default=4)
     parser.add_argument("--workers", default="0,1,2,4")
+    parser.add_argument(
+        "--pure",
+        action="store_true",
+        help="disable the native C++ contour engine (A/B the pure path)",
+    )
     args = parser.parse_args()
+    if args.pure:
+        from synthesis_in_style_tpu.segmentation import contours as _contours
+
+        _contours._NATIVE_DISABLED = True
 
     from pathlib import Path
 
