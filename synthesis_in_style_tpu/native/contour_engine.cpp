@@ -29,9 +29,12 @@
 #include <opencv2/imgproc.hpp>
 
 #include <algorithm>
+#include <atomic>
 #include <climits>
 #include <cstdint>
+#include <functional>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -155,33 +158,60 @@ int write_out(const std::vector<Item>& items, bool only_keep_overlapping,
     return 0;
 }
 
+// Run fn(i) for i in [0, n) over up to `threads` std::threads (work
+// stealing via an atomic counter). threads <= 1 runs inline. Results must
+// be written to per-i slots so output order stays deterministic.
+void parallel_for(int32_t n, int32_t threads,
+                  const std::function<void(int32_t)>& fn) {
+    if (threads <= 1 || n <= 1) {
+        for (int32_t i = 0; i < n; ++i) fn(i);
+        return;
+    }
+    std::atomic<int32_t> next{0};
+    auto worker = [&]() {
+        for (int32_t i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+            fn(i);
+        }
+    };
+    std::vector<std::thread> pool;
+    const int32_t n_threads = std::min<int32_t>(threads, n);
+    pool.reserve(n_threads - 1);
+    for (int32_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
 
 // Per-mask 3x3-cross dilation + external contours over a (N, H, W) uint8
-// stack. Output contour sets are concatenated; mask_offs (int32[N+1]) maps
-// mask i to its contour index range.
+// stack, masks processed across `threads` host threads (deterministic:
+// per-mask results are computed in parallel, packed in mask order).
+// Output contour sets are concatenated; mask_offs (int32[N+1]) maps mask i
+// to its contour index range.
 int sis_dilate_find_contours(const uint8_t* masks, int32_t n_masks,
-                             int32_t height, int32_t width, int32_t* out_pts,
-                             int64_t out_pts_cap, int64_t* out_offs,
-                             int32_t out_offs_cap, int32_t* mask_offs,
-                             int32_t* out_n) {
-    cv::Mat kernel =
-        cv::getStructuringElement(cv::MORPH_CROSS, cv::Size(3, 3));
-    int64_t pos = 0;
-    int32_t n = 0;
-    for (int32_t m = 0; m < n_masks; ++m) {
-        mask_offs[m] = n;
+                             int32_t height, int32_t width, int32_t threads,
+                             int32_t* out_pts, int64_t out_pts_cap,
+                             int64_t* out_offs, int32_t out_offs_cap,
+                             int32_t* mask_offs, int32_t* out_n) {
+    std::vector<std::vector<std::vector<cv::Point>>> per_mask(n_masks);
+    parallel_for(n_masks, threads, [&](int32_t m) {
+        cv::Mat kernel =
+            cv::getStructuringElement(cv::MORPH_CROSS, cv::Size(3, 3));
         cv::Mat img(height, width, CV_8U,
                     const_cast<uint8_t*>(masks) +
                         static_cast<int64_t>(m) * height * width);
         cv::Mat dilated;
         cv::morphologyEx(img, dilated, cv::MORPH_DILATE, kernel);
-        std::vector<std::vector<cv::Point>> contours;
-        cv::findContours(dilated, contours, cv::RETR_EXTERNAL,
+        cv::findContours(dilated, per_mask[m], cv::RETR_EXTERNAL,
                          cv::CHAIN_APPROX_SIMPLE);
-        for (const auto& c : contours) {
+    });
+    int64_t pos = 0;
+    int32_t n = 0;
+    for (int32_t m = 0; m < n_masks; ++m) {
+        mask_offs[m] = n;
+        for (const auto& c : per_mask[m]) {
             if (n + 1 >= out_offs_cap) return 1;
             if (pos + static_cast<int64_t>(c.size()) * 2 > out_pts_cap)
                 return 1;
@@ -305,48 +335,55 @@ int sis_render(const int32_t* pts, const int64_t* offs,
                const int32_t* contour_image, const int32_t* contour_color,
                int32_t n_contours, const uint8_t* fine_mask, int32_t batch,
                int32_t size, const uint8_t* colors, int32_t n_colors,
-               uint8_t* out) {
+               int32_t threads, uint8_t* out) {
     const int64_t plane = static_cast<int64_t>(size) * size;
-    // background fill
-    for (int32_t b = 0; b < batch; ++b) {
+    ContourSet in{pts, offs, n_contours};
+    // group contours by image: within an image, paint order (later wins)
+    // must match the caller's flattening; across images painting is
+    // independent and runs across `threads` host threads
+    std::vector<std::vector<int32_t>> by_image(batch);
+    for (int32_t i = 0; i < n_contours; ++i) {
+        const int32_t b = contour_image[i];
+        if (b < 0 || b >= batch || contour_color[i] < 0 ||
+            contour_color[i] >= n_colors)
+            return -2;
+        by_image[b].push_back(i);
+    }
+    parallel_for(batch, threads, [&](int32_t b) {
         uint8_t* img = out + b * plane * 3;
         for (int64_t p = 0; p < plane; ++p) {
             img[p * 3 + 0] = colors[0];
             img[p * 3 + 1] = colors[1];
             img[p * 3 + 2] = colors[2];
         }
-    }
-    ContourSet in{pts, offs, n_contours};
-    std::vector<std::vector<cv::Point>> wrap(1);
-    for (int32_t i = 0; i < n_contours; ++i) {
-        const int32_t b = contour_image[i];
-        const int32_t color_id = contour_color[i];
-        if (b < 0 || b >= batch || color_id < 0 || color_id >= n_colors)
-            return -2;
-        wrap[0] = in.contour(i);
-        // paint only inside the contour's (clamped) bounding box
-        cv::Rect r = bounds_of(wrap[0]) & cv::Rect(0, 0, size, size);
-        if (r.empty()) continue;
-        cv::Mat cmask = cv::Mat::zeros(r.height, r.width, CV_8U);
-        cv::drawContours(cmask, wrap, 0, cv::Scalar(1), cv::FILLED,
-                         cv::LINE_8, cv::noArray(), INT_MAX,
-                         cv::Point(-r.x, -r.y));
         const uint8_t* fine = fine_mask + b * plane;
-        uint8_t* img = out + b * plane * 3;
-        const uint8_t* col = colors + static_cast<int64_t>(color_id) * 3;
-        for (int32_t y = 0; y < r.height; ++y) {
-            const uint8_t* mrow = cmask.ptr<uint8_t>(y);
-            const int64_t base = static_cast<int64_t>(r.y + y) * size + r.x;
-            for (int32_t x = 0; x < r.width; ++x) {
-                if (mrow[x] && fine[base + x]) {
-                    uint8_t* px = img + (base + x) * 3;
-                    px[0] = col[0];
-                    px[1] = col[1];
-                    px[2] = col[2];
+        std::vector<std::vector<cv::Point>> wrap(1);
+        for (int32_t i : by_image[b]) {
+            wrap[0] = in.contour(i);
+            // paint only inside the contour's (clamped) bounding box
+            cv::Rect r = bounds_of(wrap[0]) & cv::Rect(0, 0, size, size);
+            if (r.empty()) continue;
+            cv::Mat cmask = cv::Mat::zeros(r.height, r.width, CV_8U);
+            cv::drawContours(cmask, wrap, 0, cv::Scalar(1), cv::FILLED,
+                             cv::LINE_8, cv::noArray(), INT_MAX,
+                             cv::Point(-r.x, -r.y));
+            const uint8_t* col =
+                colors + static_cast<int64_t>(contour_color[i]) * 3;
+            for (int32_t y = 0; y < r.height; ++y) {
+                const uint8_t* mrow = cmask.ptr<uint8_t>(y);
+                const int64_t base =
+                    static_cast<int64_t>(r.y + y) * size + r.x;
+                for (int32_t x = 0; x < r.width; ++x) {
+                    if (mrow[x] && fine[base + x]) {
+                        uint8_t* px = img + (base + x) * 3;
+                        px[0] = col[0];
+                        px[1] = col[1];
+                        px[2] = col[2];
+                    }
                 }
             }
         }
-    }
+    });
     return 0;
 }
 

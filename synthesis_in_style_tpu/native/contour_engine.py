@@ -14,10 +14,20 @@ Packed contour-set format (matching the C ABI):
 from __future__ import annotations
 
 import ctypes
+import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _n_threads() -> int:
+    """Host threads for the batch-level native calls (dilate/find, render).
+    SIS_CONTOUR_THREADS overrides; defaults to the core count."""
+    env = os.environ.get("SIS_CONTOUR_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
 
 _NATIVE_DIR = Path(__file__).parent
 _LIB_PATH = _NATIVE_DIR / "libcontourengine.so"
@@ -59,6 +69,7 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.sis_dilate_find_contours.restype = ctypes.c_int
     lib.sis_dilate_find_contours.argtypes = [
         _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
         _I32P, ctypes.c_int64, _I64P, ctypes.c_int32, _I32P, _I32P,
     ]
     lib.sis_merge_contours.restype = ctypes.c_int
@@ -75,7 +86,7 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.sis_render.argtypes = [
         _I32P, _I64P, _I32P, _I32P, ctypes.c_int32,
         _U8P, ctypes.c_int32, ctypes.c_int32,
-        _U8P, ctypes.c_int32, _U8P,
+        _U8P, ctypes.c_int32, ctypes.c_int32, _U8P,
     ]
 
 
@@ -200,7 +211,8 @@ def render_native(
         _ptr(np.ascontiguousarray(contour_color, np.int32), _I32P),
         ctypes.c_int32(len(contours)),
         _ptr(fine_mask, _U8P), ctypes.c_int32(batch), ctypes.c_int32(size),
-        _ptr(colors, _U8P), ctypes.c_int32(len(colors)), _ptr(out, _U8P),
+        _ptr(colors, _U8P), ctypes.c_int32(len(colors)),
+        ctypes.c_int32(_n_threads()), _ptr(out, _U8P),
     )
     if rc != 0:
         raise RuntimeError(f"sis_render failed rc={rc}")
@@ -224,6 +236,7 @@ def dilate_find_contours_native(
         rc = lib.sis_dilate_find_contours(
             _ptr(masks, _U8P), ctypes.c_int32(n_masks),
             ctypes.c_int32(h), ctypes.c_int32(w),
+            ctypes.c_int32(_n_threads()),
             _ptr(out_pts, _I32P), ctypes.c_int64(pts_cap),
             _ptr(out_offs, _I64P), ctypes.c_int32(offs_cap),
             _ptr(mask_offs, _I32P), ctypes.byref(out_n),

@@ -119,6 +119,37 @@ def test_empty_and_degenerate_inputs():
     assert mat[0, 0] == contour_overlap(sq, sq) == 49
 
 
+def test_multithreaded_batch_calls_deterministic(monkeypatch):
+    """The threaded batch entry points (dilate/find, render-by-image) must
+    produce identical output regardless of thread count — per-slot writes
+    plus ordered packing, no racy accumulation."""
+    import synthesis_in_style_tpu.native.contour_engine as eng
+
+    masks = _rand_masks(np.random.default_rng(5), 12, size=64, boxes=5)
+    monkeypatch.setenv("SIS_CONTOUR_THREADS", "1")
+    one = eng.dilate_find_contours_native(lib, masks)
+    monkeypatch.setenv("SIS_CONTOUR_THREADS", "4")
+    four = eng.dilate_find_contours_native(lib, masks)
+    assert len(one) == len(four)
+    for a_set, b_set in zip(one, four):
+        assert len(a_set) == len(b_set)
+        for a, b in zip(a_set, b_set):
+            np.testing.assert_array_equal(a, b)
+
+    contours = [c for s in one for c in s]
+    image_ids = np.asarray(
+        [m for m, s in enumerate(one) for _ in s], np.int32
+    )
+    color_ids = np.ones(len(contours), np.int32)
+    fine = masks
+    colors = np.asarray([[0, 0, 0], [255, 0, 0]], np.uint8)
+    monkeypatch.setenv("SIS_CONTOUR_THREADS", "1")
+    r1 = eng.render_native(lib, contours, image_ids, color_ids, fine, colors)
+    monkeypatch.setenv("SIS_CONTOUR_THREADS", "4")
+    r4 = eng.render_native(lib, contours, image_ids, color_ids, fine, colors)
+    np.testing.assert_array_equal(r1, r4)
+
+
 def test_full_stage_identical():
     """segment_prepared output is byte-identical native vs pure."""
     from pathlib import Path
