@@ -222,6 +222,8 @@ class MiniBatchSphericalKMeans:
         tol: float = 0.0,
         n_init: int = 3,
     ):
+        if n_clusters < 1:
+            raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
         self.n_clusters = n_clusters
         self.batch_size = batch_size
         self.n_epochs = n_epochs

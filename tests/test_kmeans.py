@@ -137,3 +137,8 @@ def test_partial_fit_and_predict_shapes():
     pred = km.predict(rng.normal(size=(10, 6)).astype(np.float32))
     assert pred.shape == (10,)
     assert pred.max() < 3
+
+
+def test_invalid_n_clusters_raises():
+    with pytest.raises(ValueError, match="n_clusters"):
+        MiniBatchSphericalKMeans(n_clusters=0)
