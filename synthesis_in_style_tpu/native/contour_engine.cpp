@@ -185,6 +185,12 @@ void parallel_for(int32_t n, int32_t threads,
 
 extern "C" {
 
+// ABI version of the exported signatures below. The Python loader refuses
+// a cached .so whose version differs (symbol presence alone cannot detect
+// an argument inserted mid-signature). Keep in sync with
+// contour_engine.py:_ABI_VERSION.
+int32_t sis_abi_version() { return 2; }
+
 // Per-mask 3x3-cross dilation + external contours over a (N, H, W) uint8
 // stack, masks processed across `threads` host threads (deterministic:
 // per-mask results are computed in parallel, packed in mask order).

@@ -23,10 +23,15 @@ import numpy as np
 
 def _n_threads() -> int:
     """Host threads for the batch-level native calls (dilate/find, render).
-    SIS_CONTOUR_THREADS overrides; defaults to the core count."""
+    SIS_CONTOUR_THREADS overrides; defaults to the core count. A malformed
+    override falls back to the default — every other knob in this module
+    degrades gracefully, so this one must not abort the pipeline."""
     env = os.environ.get("SIS_CONTOUR_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
     return max(1, os.cpu_count() or 1)
 
 _NATIVE_DIR = Path(__file__).parent
@@ -65,7 +70,23 @@ def get_contour_engine() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+# Bumped whenever an exported signature changes. _bind refuses a library
+# reporting a different version: symbol PRESENCE alone cannot detect a
+# stale cached .so after an argument was inserted mid-signature, and
+# load_native's documented fall-through would otherwise bind it (a wrong
+# arity ctypes call reinterprets ints as pointers -> SIGSEGV, not the
+# designed graceful pure-path fallback).
+_ABI_VERSION = 2
+
+
 def _bind(lib: ctypes.CDLL) -> None:
+    lib.sis_abi_version.restype = ctypes.c_int32
+    lib.sis_abi_version.argtypes = []
+    found = lib.sis_abi_version()
+    if found != _ABI_VERSION:
+        raise AttributeError(
+            f"contour engine ABI {found} != expected {_ABI_VERSION}"
+        )
     lib.sis_dilate_find_contours.restype = ctypes.c_int
     lib.sis_dilate_find_contours.argtypes = [
         _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

@@ -57,6 +57,12 @@ def main() -> None:
     )
     args = parser.parse_args()
     if args.pure:
+        import os
+
+        # via the environment so ContourWorkerPool's spawn workers (which
+        # re-import contours.py and re-read the env) inherit the disable —
+        # a module attribute only reaches the parent process
+        os.environ["SIS_DISABLE_NATIVE_CONTOURS"] = "1"
         from synthesis_in_style_tpu.segmentation import contours as _contours
 
         _contours._NATIVE_DISABLED = True

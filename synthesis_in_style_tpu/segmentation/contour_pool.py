@@ -17,6 +17,7 @@ fork unsafe.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, List, Tuple
 
@@ -27,6 +28,11 @@ _WORKER_SEGMENTER = None
 
 def _init_worker(spec: Dict) -> None:
     global _WORKER_SEGMENTER
+    # Parallelism here comes from processes: without this, every worker's
+    # native contour calls would default to cpu_count() threads each
+    # (num_workers * cores total — thread thrash, not scaling). An explicit
+    # SIS_CONTOUR_THREADS in the parent is inherited and respected.
+    os.environ.setdefault("SIS_CONTOUR_THREADS", "1")
     from synthesis_in_style_tpu.segmentation.dataset_segmenter import (
         BaseClusterBasedDatasetSegmenter,
     )

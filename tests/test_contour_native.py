@@ -206,3 +206,37 @@ def test_full_stage_identical():
         C._NATIVE_DISABLED = old
     np.testing.assert_array_equal(img_n, img_p)
     assert drop_n == drop_p
+
+
+def test_abi_version_guard():
+    """A cached .so reporting a different ABI version must be refused by
+    _bind (AttributeError -> load_native returns None -> pure fallback),
+    never bound with shifted arguments."""
+    from synthesis_in_style_tpu.native import contour_engine as ce
+
+    lib = get_contour_engine()
+    if lib is None:
+        pytest.skip("native engine unavailable")
+    assert lib.sis_abi_version() == ce._ABI_VERSION
+
+    class _FakeVersion:
+        restype = None
+        argtypes = None
+
+        def __call__(self):
+            return ce._ABI_VERSION + 1
+
+    class _FakeLib:
+        sis_abi_version = _FakeVersion()
+
+    with pytest.raises(AttributeError, match="ABI"):
+        ce._bind(_FakeLib())
+
+
+def test_n_threads_malformed_env(monkeypatch):
+    from synthesis_in_style_tpu.native.contour_engine import _n_threads
+
+    monkeypatch.setenv("SIS_CONTOUR_THREADS", "auto")
+    assert _n_threads() >= 1
+    monkeypatch.setenv("SIS_CONTOUR_THREADS", "3")
+    assert _n_threads() == 3
