@@ -89,6 +89,9 @@ def get_data_loader(
 
 
 def main(args: argparse.Namespace) -> None:
+    from synthesis_in_style_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     global_config.debug = args.debug
 
     config = load_yaml_config(args.config)

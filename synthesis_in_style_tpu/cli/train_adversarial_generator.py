@@ -70,6 +70,9 @@ def build_networks(config: dict):
 
 
 def main(args: argparse.Namespace) -> None:
+    from synthesis_in_style_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     config = load_config_from_checkpoint(args.autoencoder_checkpoint, args.config)
     if args.overwrite_config and args.config:
         config.update(load_yaml_config(args.config))

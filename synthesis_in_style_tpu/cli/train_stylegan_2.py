@@ -102,6 +102,9 @@ def build_gan_optimizers(config: dict):
 
 
 def main(args: argparse.Namespace) -> None:
+    from synthesis_in_style_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     config = load_yaml_config(args.config)
     config = merge_config_and_args(config, args)
     log_dir = Path(config["log_dir"])

@@ -1,5 +1,6 @@
 from synthesis_in_style_tpu.parallel.mesh import (
     make_mesh,
+    maybe_initialize_distributed,
     data_parallel_mesh,
     replicate,
     shard_batch,
@@ -10,6 +11,7 @@ from synthesis_in_style_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "maybe_initialize_distributed",
     "data_parallel_mesh",
     "replicate",
     "shard_batch",

@@ -21,6 +21,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host bring-up — the TPU-native replacement for the reference's
+    `setup_distributed` / `dist.init_process_group(nccl|gloo)`
+    (train.py:59-62, train_stylegan_2.py:208-212).
+
+    Must run BEFORE the first JAX backend touch, so it decides from the
+    environment alone: initializes when a multi-host launch is indicated
+    (JAX's own coordinator env, a Cloud-TPU pod runtime, or the explicit
+    SIS_MULTIHOST opt-in). Single-process runs — including the CPU test
+    mesh and the single-chip relay — skip it, because
+    `jax.distributed.initialize()` outside a managed environment requires
+    coordinator arguments and would fail.
+    """
+    import os
+
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    indicated = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("SIS_MULTIHOST")
+        # a Cloud-TPU pod slice lists >1 worker; single-host runtimes
+        # (including the dev relay) set one hostname or none
+        or ("," in hostnames)
+    )
+    if not indicated:
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        # already initialized (idempotent across CLI layers)
+        pass
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),

@@ -144,3 +144,55 @@ def test_stylegan2_updater_with_mesh_runs_sharded():
         updater.update_core()
     leaf = jax.tree_util.tree_leaves(updater.state.g_params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_maybe_initialize_distributed_gating(monkeypatch):
+    """No-op without a multi-host indication; calls
+    jax.distributed.initialize() (idempotently) when one is present
+    (reference setup_distributed, train.py:59-62)."""
+    from synthesis_in_style_tpu.parallel import maybe_initialize_distributed
+
+    calls = []
+    import jax
+
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: calls.append(1)
+    )
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "SIS_MULTIHOST", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    maybe_initialize_distributed()
+    assert calls == []
+
+    monkeypatch.setenv("SIS_MULTIHOST", "1")
+    maybe_initialize_distributed()
+    assert calls == [1]
+
+    # an already-initialized runtime (RuntimeError) must not propagate
+    def _raise(*a, **k):
+        raise RuntimeError("already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", _raise)
+    maybe_initialize_distributed()
+
+
+def test_maybe_initialize_distributed_single_host_pod_env(monkeypatch):
+    """A single-worker TPU_WORKER_HOSTNAMES (as set by single-host TPU
+    runtimes) must NOT trigger initialization; a multi-worker list must."""
+    from synthesis_in_style_tpu.parallel import maybe_initialize_distributed
+
+    calls = []
+    import jax
+
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: calls.append(1)
+    )
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "SIS_MULTIHOST"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    maybe_initialize_distributed()
+    assert calls == []
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    maybe_initialize_distributed()
+    assert calls == [1]
