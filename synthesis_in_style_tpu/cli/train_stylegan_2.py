@@ -209,6 +209,11 @@ def main(args: argparse.Namespace) -> None:
                 "g_noises": t.updater.state.g_noises,
                 "generator_optimizer": t.updater.state.g_opt,
                 "discriminator_optimizer": t.updater.state.d_opt,
+                # additive key beyond the reference layout: the path-reg
+                # running mean, so resume doesn't restart it at 0
+                "training_state": {
+                    "mean_path_length": t.updater.state.mean_path_length,
+                },
             },
             log_dir,
             trigger=(int(config.get("snapshot_save_iter", 10000)), "iteration"),

@@ -51,10 +51,16 @@ class Snapshotter(Extension):
         state = jax.tree_util.tree_map(np.asarray, state)
         path = (self.checkpoint_dir / f"iter_{trainer.updater.iteration:08d}").resolve()
         self._get_checkpointer().save(path, state, force=True)
+        self._last_saved_iteration = trainer.updater.iteration
         logger.info("snapshot saved to %s", path)
 
     def finalize(self, trainer: Trainer):
-        self.run(trainer)
+        # skip the final save when the trigger already wrote this iteration:
+        # orbax force=True deletes-then-rewrites, so re-saving would put the
+        # only final checkpoint at risk for the duration of the rewrite —
+        # the exact window finalize exists to close
+        if getattr(self, "_last_saved_iteration", None) != trainer.updater.iteration:
+            self.run(trainer)
         if self._checkpointer is not None:
             self._checkpointer.wait_until_finished()
 
@@ -131,9 +137,13 @@ class ImagePlotter(Extension):
         self.image_dir = Path(log_dir) / "images"
 
     def run(self, trainer: Trainer):
+        # render on EVERY process: render_fn typically applies the model to
+        # state living on the global mesh, and a multi-host computation must
+        # be dispatched by all hosts (gating it to rank 0 would hang the
+        # others); only rank 0 writes the file
+        image = np.asarray(self.render_fn(trainer))
         if not _is_main_process():
             return
-        image = np.asarray(self.render_fn(trainer))
         self.image_dir.mkdir(parents=True, exist_ok=True)
         from PIL import Image
 

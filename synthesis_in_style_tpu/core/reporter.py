@@ -44,9 +44,6 @@ class Reporter:
         self._values.clear()
         return means
 
-    def peek_latest(self) -> Dict[str, float]:
-        return {k: float(np.asarray(v[-1])) for k, v in self._values.items() if v}
-
     @contextmanager
     def scope(self):
         prev = getattr(_local, "reporter", None)

@@ -84,8 +84,26 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Shard array(s) along dim 0 over the data axis."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    """Shard array(s) along dim 0 over the data axis.
+
+    Multi-host: each process's loader yields a DIFFERENT local batch (the
+    data layer shards the dataset by `jax.process_index()`, like the
+    reference's DistributedSampler), so the local arrays are this host's
+    SHARD of a global batch of process_count * local_batch rows —
+    `make_array_from_process_local_data` assembles that global array. A
+    plain device_put here would instead treat each host's distinct batch
+    as the same global batch and silently train on 1/H of every row.
+    Single-process (any number of local devices): device_put sharding.
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
+    return jax.device_put(batch, sharding)
 
 
 def data_parallel_mesh(batch_size: int) -> Optional[Mesh]:

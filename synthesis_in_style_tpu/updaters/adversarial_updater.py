@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from synthesis_in_style_tpu.core.updater import Updater
+from synthesis_in_style_tpu.losses.gan import r1_update
 
 Array = jax.Array
 
@@ -118,19 +119,11 @@ def make_adversarial_steps(
         }
 
     def d_reg_step(state: AdversarialTrainState, style):
-        def loss_fn(d_params):
-            def d_sum(x):
-                return jnp.sum(discriminator.apply({"params": d_params}, x))
-
-            grad_x = jax.grad(d_sum)(style)
-            r1 = jnp.mean(jnp.sum(jnp.square(grad_x), axis=(1, 2, 3)))
-            return r1_weight / 2.0 * r1 * d_interval, r1
-
-        (penalty, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.d_params
+        d_params, d_opt, penalty, _ = r1_update(
+            lambda p, x: discriminator.apply({"params": p}, x),
+            d_tx, r1_weight, d_interval,
+            state.d_params, state.d_opt, style,
         )
-        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, updates)
         return state.replace(d_params=d_params, d_opt=d_opt), {
             "gradient_penalty": penalty,
         }

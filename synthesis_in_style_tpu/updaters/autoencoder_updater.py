@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from synthesis_in_style_tpu.core.updater import Updater
-from synthesis_in_style_tpu.losses.gan import d_logistic_loss, g_nonsaturating_loss
+from synthesis_in_style_tpu.losses.gan import d_logistic_loss, g_nonsaturating_loss, r1_update
 from synthesis_in_style_tpu.models.autoencoder import encoder_param_mask
 
 Array = jax.Array
@@ -197,21 +197,11 @@ def make_autoencoder_gan_steps(
         }
 
     def d_reg_step(state: AETrainState, batch):
-        real = batch["output_image"]
-
-        def loss_fn(d_params):
-            def d_sum(x):
-                return jnp.sum(discriminator.apply({"params": d_params}, x))
-
-            grad_x = jax.grad(d_sum)(real)
-            r1 = jnp.mean(jnp.sum(jnp.square(grad_x), axis=(1, 2, 3)))
-            return r1_weight / 2.0 * r1 * d_interval, r1
-
-        (penalty, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.d_params
+        d_params, d_opt, penalty, _ = r1_update(
+            lambda p, x: discriminator.apply({"params": p}, x),
+            d_tx, r1_weight, d_interval,
+            state.d_params, state.d_opt, batch["output_image"],
         )
-        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, updates)
         return state.replace(d_params=d_params, d_opt=d_opt), {
             "gradient_penalty": penalty,
         }

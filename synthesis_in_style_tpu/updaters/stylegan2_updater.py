@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from synthesis_in_style_tpu.core.updater import Updater
-from synthesis_in_style_tpu.losses.gan import d_logistic_loss, g_nonsaturating_loss
+from synthesis_in_style_tpu.losses.gan import d_logistic_loss, g_nonsaturating_loss, r1_update
 from synthesis_in_style_tpu.utils.precision import cast_floating
 
 
@@ -131,14 +131,31 @@ def restore_gan_snapshot(state: GANTrainState, tree) -> GANTrainState:
         state = state.replace(g_ema=asarray(tree["g_ema"]))
     if "g_noises" in tree:
         state = state.replace(g_noises=asarray(tree["g_noises"]))
-    if "generator_optimizer" in tree:
-        # orbax restores plain nested containers; rebuild the optax state
-        # structure matching namedtuple fields by NAME (not leaf order)
+    # orbax restores plain nested containers; rebuild the optax state
+    # structure matching namedtuple fields by NAME (not leaf order).
+    # Each optimizer restores independently — a partial checkpoint carrying
+    # only one of them must neither KeyError nor silently skip the other.
+    if "generator_optimizer" in tree or "discriminator_optimizer" in tree:
         from synthesis_in_style_tpu.utils.checkpoint import restore_structured
 
+        if "generator_optimizer" in tree:
+            state = state.replace(
+                g_opt=restore_structured(state.g_opt, tree["generator_optimizer"])
+            )
+        if "discriminator_optimizer" in tree:
+            state = state.replace(
+                d_opt=restore_structured(state.d_opt, tree["discriminator_optimizer"])
+            )
+    if "training_state" in tree and "mean_path_length" in tree["training_state"]:
+        # the path-length running mean is training state too: without it a
+        # resume restarts the 0.01-decay mean at 0 and the first reg steps
+        # see a large spurious path penalty (the torch reference shares
+        # this gap; we close it — the key is additive, old snapshots and
+        # converted reference .pt files simply lack it)
         state = state.replace(
-            g_opt=restore_structured(state.g_opt, tree["generator_optimizer"]),
-            d_opt=restore_structured(state.d_opt, tree["discriminator_optimizer"]),
+            mean_path_length=jnp.asarray(
+                tree["training_state"]["mean_path_length"], jnp.float32
+            )
         )
     return state
 
@@ -237,18 +254,11 @@ def make_train_steps(
 
     # ---------------- R1 regularization (ref :144-156) ----------------
     def d_reg_step(state: GANTrainState, real: jax.Array):
-        def loss_fn(d_params):
-            def d_sum(x):
-                return jnp.sum(disc.apply({"params": d_params}, x))
-
-            grad_x = jax.grad(d_sum)(real)
-            r1 = jnp.mean(jnp.sum(jnp.square(grad_x), axis=(1, 2, 3)))
-            # weight folding: r1_weight/2 * r1 * interval (ref :152)
-            return cfg.r1_weight / 2.0 * r1 * cfg.d_reg_every, r1
-
-        (loss, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
-        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, updates)
+        d_params, d_opt, _, r1 = r1_update(
+            lambda p, x: disc.apply({"params": p}, x),
+            d_tx, cfg.r1_weight, cfg.d_reg_every,
+            state.d_params, state.d_opt, real,
+        )
         state = state.replace(d_params=d_params, d_opt=d_opt)
         return state, {"r1_penalty": r1}
 
@@ -411,4 +421,4 @@ class StyleGAN2Updater(Updater):
         # EMA last, after all generator updates this iteration (ref :223)
         self.state, _ = self.steps["ema_step"](self.state)
 
-        self.report({k: v for k, v in metrics.items()}, prefix="train")
+        self.report(metrics, prefix="train")

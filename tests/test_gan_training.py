@@ -232,3 +232,35 @@ def test_frozen_stochastic_noise_layers(setup):
     assert np.isfinite(float(m["generator_loss"]))
     _, m = steps["g_reg_step"](st, rng)
     assert np.isfinite(float(m["path_loss"]))
+
+
+def test_restore_partial_optimizer_and_path_mean(setup):
+    """A partial snapshot restores exactly what it carries: one optimizer
+    alone must not KeyError or silently skip; training_state.mean_path_length
+    round-trips (resume must not restart the path mean at 0)."""
+    from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+        restore_gan_snapshot,
+    )
+
+    *_, state, steps = setup
+    real = _real_batch(jax.random.PRNGKey(5))
+    trained, _ = steps["d_step"](state, real, jax.random.PRNGKey(6))
+
+    # discriminator optimizer only
+    resumed = restore_gan_snapshot(
+        state, {"discriminator_optimizer": trained.d_opt}
+    )
+    d_mu = jax.tree_util.tree_leaves(resumed.d_opt)
+    assert any(float(jnp.abs(l).max()) > 0 for l in d_mu if l.ndim > 0)
+
+    # generator optimizer only (previously raised KeyError on missing
+    # discriminator_optimizer)
+    resumed = restore_gan_snapshot(
+        state, {"generator_optimizer": trained.g_opt}
+    )
+
+    # path-length running mean round-trip
+    resumed = restore_gan_snapshot(
+        state, {"training_state": {"mean_path_length": np.float32(0.73)}}
+    )
+    assert float(resumed.mean_path_length) == pytest.approx(0.73)
