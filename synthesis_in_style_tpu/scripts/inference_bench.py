@@ -1,0 +1,147 @@
+"""Serving-side inference benchmark: whole-page patch-based segmentation
+throughput through `VotingAssemblySegmenter` (the production inference path
+used by `cli.analyze_image_segments`).
+
+Measures pages/s and ms/page at realistic document sizes (multi-patch
+tiling + on-device jitted forward + voting assembly + host contour-area
+postprocess), warmed, on the real chip. The reference's equivalent path is
+analysis_segmenter.py:130-223 (per-patch torch forward + CPU assembly); it
+publishes no numbers (BASELINE.md), so these are the rebuild's own serving
+baselines.
+
+Usage (on the TPU):
+  python -m synthesis_in_style_tpu.scripts.inference_bench \
+      --checkpoint <ckpt_dir> --color-map <colors.json> \
+      [--sizes 512x512,1024x768,2048x1536] [--pages 8] [--batch 8]
+
+Without --checkpoint, a randomly-initialized DocUFCN checkpoint + 3-class
+color map are synthesized into a temp run dir (throughput is
+weight-independent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def _make_synthetic_checkpoint(root: Path, patch_size: int) -> tuple:
+    import jax
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
+    from synthesis_in_style_tpu.utils.checkpoint import save_pytree
+
+    run_dir = root / "run"
+    ckpt_dir = run_dir / "checkpoints" / "iter_00000001"
+    colors = {
+        "background": "#000000",
+        "printed_text": "#0000FF",
+        "handwritten_text": "#FF0000",
+    }
+    color_path = root / "colors.json"
+    color_path.write_text(json.dumps(colors))
+    config = {
+        "network": "DocUFCN",
+        "num_classes": 3,
+        "input_dim": 3,
+        "image_size": patch_size,
+        "batch_size": 8,
+        "class_to_color_map": str(color_path),
+    }
+    (run_dir / "config").mkdir(parents=True, exist_ok=True)
+    (run_dir / "config" / "config.json").write_text(json.dumps(config))
+    model = DocUFCN(num_classes=3)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, patch_size, patch_size, 3)),
+        train=False,
+    )
+    save_pytree(ckpt_dir, {"segmentation_network": variables})
+    return ckpt_dir, color_path
+
+
+def _synthetic_page(rng: np.random.Generator, width: int, height: int) -> Image.Image:
+    """Document-like page: bright background + dark text-ish bars."""
+    page = np.full((height, width, 3), 235, np.uint8)
+    for _ in range(30):
+        y = int(rng.integers(0, max(1, height - 12)))
+        x0 = int(rng.integers(0, width // 4))
+        x1 = int(rng.integers(width // 2, width))
+        page[y : y + int(rng.integers(3, 10)), x0:x1] = int(rng.integers(20, 90))
+    return Image.fromarray(page)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--color-map", default=None)
+    parser.add_argument("--sizes", default="512x512,1024x768,2048x1536")
+    parser.add_argument("--pages", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--min-confidence", type=float, default=0.7)
+    parser.add_argument("--min-contour-area", type=int, default=55)
+    args = parser.parse_args()
+
+    import jax
+
+    from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
+        VotingAssemblySegmenter,
+    )
+
+    print(f"devices: {jax.devices()}", flush=True)
+    tmp = None
+    if args.checkpoint is None:
+        tmp = tempfile.TemporaryDirectory(prefix="infbench_")
+        ckpt, color_map = _make_synthetic_checkpoint(Path(tmp.name), 256)
+    else:
+        ckpt, color_map = args.checkpoint, args.color_map
+
+    segmenter = VotingAssemblySegmenter(
+        ckpt,
+        class_to_color_map=color_map,
+        print_progress=False,
+    )
+    segmenter.set_hyperparams(
+        {
+            "min_confidence": args.min_confidence,
+            "min_contour_area": args.min_contour_area,
+            "patch_overlap": [0, 0.0],
+        }
+    )
+
+    rng = np.random.default_rng(0)
+    results = []
+    for spec in args.sizes.split(","):
+        w, h = (int(v) for v in spec.split("x"))
+        pages = [_synthetic_page(rng, w, h) for _ in range(args.pages)]
+        segmenter.segment_image(pages[0])  # warm/compile for this tiling
+        t0 = time.perf_counter()
+        for page in pages:
+            out = segmenter.segment_image(page)
+            assert out is not None
+        dt = time.perf_counter() - t0
+        per = dt / len(pages)
+        results.append(
+            {
+                "size": spec,
+                "ms_per_page": round(per * 1e3, 1),
+                "pages_per_s": round(1.0 / per, 2),
+            }
+        )
+        print(
+            f"{spec}: {per * 1e3:.1f} ms/page = {1.0 / per:.2f} pages/s "
+            f"({len(segmenter.calculate_bboxes_for_patches(w, h))} patches)",
+            flush=True,
+        )
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
