@@ -210,6 +210,11 @@ class AnalysisSegmenter:
 
             @jax.jit
             def predict(images):
+                # Patches cross the host->device link as uint8 (4x less
+                # transfer than normalized f32); the ToTensor+Normalize(0.5)
+                # arithmetic (reference :114-128) runs on device with the
+                # exact same f32 op sequence the host used to apply.
+                images = (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
                 logits = network.apply(variables, images, train=False)
                 probs = predict_probabilities(logits, min_confidence)
                 if device_filter and min_contour_area > 0:
@@ -261,20 +266,22 @@ class AnalysisSegmenter:
         )
 
     def crop_and_batch_patches(self, input_image: Image.Image) -> Iterator[dict]:
-        """Normalized (B, P, P, C) patch batches + their bboxes (reference
-        :114-128). Border patches are zero-padded like PIL crop."""
-        arr = np.asarray(input_image, dtype=np.float32) / 255.0
+        """(B, P, P, C) uint8 patch batches + their bboxes (reference
+        :114-128). Border patches are zero-padded like PIL crop (uint8 0
+        normalizes to -1.0 on device, matching the reference's padded
+        crops). Normalization happens inside the jitted forward so only
+        uint8 crosses the host->device link."""
+        arr = np.asarray(input_image, dtype=np.uint8)
         if arr.ndim == 2:
             arr = arr[:, :, None]
-        arr = (arr - 0.5) / 0.5
         h, w = arr.shape[:2]
         p = self.patch_size
 
         bboxes = self.calculate_bboxes_for_patches(input_image.width, input_image.height)
         for i in range(0, len(bboxes), self.batch_size):
             batch_bboxes = bboxes[i : i + self.batch_size]
-            batch = np.full(
-                (len(batch_bboxes), p, p, arr.shape[2]), -1.0, dtype=np.float32
+            batch = np.zeros(
+                (len(batch_bboxes), p, p, arr.shape[2]), dtype=np.uint8
             )
             for j, bbox in enumerate(batch_bboxes):
                 y_end = min(bbox.bottom, h)
@@ -296,21 +303,34 @@ class AnalysisSegmenter:
                 pass
         predict = self._get_predict_fn()
         predicted = []
-        for batch in patches:
-            images = batch["images"]
-            n = images.shape[0]
-            if n < self.batch_size:
-                pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
-                images = np.concatenate([images, pad], axis=0)
-            probs = np.asarray(predict(jnp.asarray(images)))[:n]
+
+        def drain(entry):
+            device_probs, n, bboxes = entry
+            probs = np.asarray(device_probs)[:n]
             if not self.use_device_component_filter:
                 probs = remove_too_small_contours(
                     probs,
                     self.segmenter_config.min_contour_area,
                     self.segmenter_config.background_class_id,
                 )
-            for i, bbox in enumerate(batch["bboxes"]):
+            for i, bbox in enumerate(bboxes):
                 predicted.append({"prediction": probs[i], "bbox": bbox})
+
+        # JAX dispatch is async: keep a few batches in flight so the device
+        # forward of batch i+1 overlaps the host fetch + contour postprocess
+        # of batch i (the reference runs strictly serially, :130-142).
+        in_flight: List[tuple] = []
+        for batch in patches:
+            images = batch["images"]
+            n = images.shape[0]
+            if n < self.batch_size:
+                pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
+                images = np.concatenate([images, pad], axis=0)
+            in_flight.append((predict(jnp.asarray(images)), n, batch["bboxes"]))
+            if len(in_flight) > 4:
+                drain(in_flight.pop(0))
+        for entry in in_flight:
+            drain(entry)
         return predicted
 
     def assemble_predictions(
