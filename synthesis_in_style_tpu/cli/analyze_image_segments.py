@@ -182,6 +182,10 @@ def main(args: argparse.Namespace) -> None:
             args.use_device_component_filter
             or bool(model_config.get("use_device_component_filter", False))
         ),
+        fused_page_inference=(
+            args.fused_page_inference
+            or bool(model_config.get("fused_page_inference", False))
+        ),
     )
     class_to_color_map = segmenter.class_to_color_map
     class_names = list(class_to_color_map.keys())
@@ -334,6 +338,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Run the small-component postprocess on device "
                         "(segmentation/device_cc.py) instead of host cv2 "
                         "contours. Pixel-area semantics.")
+    parser.add_argument("--fused-page-inference", action="store_true",
+                        default=False,
+                        help="Run each page as ONE jitted program (patch "
+                        "extraction + forward + device component filter + "
+                        "voting assembly on device). Implies the device "
+                        "component filter.")
     return parser
 
 

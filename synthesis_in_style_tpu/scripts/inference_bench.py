@@ -87,6 +87,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--min-confidence", type=float, default=0.7)
     parser.add_argument("--min-contour-area", type=int, default=55)
+    parser.add_argument("--fused", action="store_true", default=False,
+                        help="Whole page as ONE jitted program (device "
+                        "patch extraction + forward + component filter + "
+                        "voting assembly).")
     args = parser.parse_args()
 
     import jax
@@ -107,6 +111,7 @@ def main() -> None:
         ckpt,
         class_to_color_map=color_map,
         print_progress=False,
+        fused_page_inference=args.fused,
     )
     segmenter.set_hyperparams(
         {

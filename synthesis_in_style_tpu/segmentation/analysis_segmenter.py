@@ -121,6 +121,7 @@ class AnalysisSegmenter:
         config: Optional[dict] = None,
         segmenter_config: Optional[SegmenterConfig] = None,
         use_device_component_filter: bool = False,
+        fused_page_inference: bool = False,
     ):
         if config is None:
             config = load_config_from_checkpoint(model_checkpoint, original_config_path)
@@ -151,7 +152,15 @@ class AnalysisSegmenter:
         # the jitted predict. Pixel-area semantics (vs cv2 polygon area) —
         # thresholds are tuned per metric via the sweep CLI either way.
         self.use_device_component_filter = use_device_component_filter
+        # Optional TPU fast path: run the WHOLE page — patch extraction,
+        # forward, per-patch component filter, and vote/max assembly — as
+        # ONE jitted program per page tiling (see _get_fused_page_fn).
+        # Because there is no per-patch host stage in this mode, the
+        # cv2 contour-area filter is replaced by the device component
+        # filter whenever min_contour_area > 0.
+        self.fused_page_inference = fused_page_inference
         self._predict_fn = None
+        self._fused_fns: Dict[tuple, object] = {}
 
     # ---------------- configuration ----------------
 
@@ -185,10 +194,12 @@ class AnalysisSegmenter:
         if "min_confidence" in hyperparam_config:
             replacements["min_confidence"] = hyperparam_config["min_confidence"]
             self._predict_fn = None  # min_confidence is baked into the jit
+            self._fused_fns.clear()
         if "min_contour_area" in hyperparam_config:
             replacements["min_contour_area"] = hyperparam_config["min_contour_area"]
             if self.use_device_component_filter:
                 self._predict_fn = None  # area threshold is baked into the jit
+            self._fused_fns.clear()  # the fused path always device-filters
         if replacements:
             import dataclasses
 
@@ -198,26 +209,26 @@ class AnalysisSegmenter:
 
     # ---------------- prediction ----------------
 
-    def _get_predict_fn(self):
-        if self._predict_fn is None:
-            min_confidence = self.segmenter_config.min_confidence
-            min_contour_area = int(self.segmenter_config.min_contour_area)
-            background = self.segmenter_config.background_class_id
-            num_classes = self.segmenter_config.num_classes
-            device_filter = self.use_device_component_filter
-            network = self.network
-            variables = self.network_variables
+    def _make_patch_forward(self, device_filter: bool):
+        """Pure traced patch forward: (B, P, P, C) uint8 -> (B, P, P, nc)
+        f32 probabilities, with normalization, softmax + confidence
+        threshold, and (optionally) the device component filter inside."""
+        min_confidence = self.segmenter_config.min_confidence
+        min_contour_area = int(self.segmenter_config.min_contour_area)
+        background = self.segmenter_config.background_class_id
+        num_classes = self.segmenter_config.num_classes
+        network = self.network
+        variables = self.network_variables
 
-            @jax.jit
-            def predict(images):
-                # Patches cross the host->device link as uint8 (4x less
-                # transfer than normalized f32); the ToTensor+Normalize(0.5)
-                # arithmetic (reference :114-128) runs on device with the
-                # exact same f32 op sequence the host used to apply.
-                images = (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-                logits = network.apply(variables, images, train=False)
-                probs = predict_probabilities(logits, min_confidence)
-                if device_filter and min_contour_area > 0:
+        def predict(images):
+            # Patches cross the host->device link as uint8 (4x less
+            # transfer than normalized f32); the ToTensor+Normalize(0.5)
+            # arithmetic (reference :114-128) runs on device with the
+            # exact same f32 op sequence the host used to apply.
+            images = (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            logits = network.apply(variables, images, train=False)
+            probs = predict_probabilities(logits, min_confidence)
+            if device_filter and min_contour_area > 0:
                     from synthesis_in_style_tpu.segmentation.device_cc import (
                         binary_closing,
                         filter_small_components,
@@ -253,10 +264,114 @@ class AnalysisSegmenter:
                         out[c] = kept[j]
                     out[background] = probs[..., background]
                     probs = jnp.stack(out, axis=-1)
-                return probs
+            return probs
 
-            self._predict_fn = predict
+        return predict
+
+    def _get_predict_fn(self):
+        if self._predict_fn is None:
+            self._predict_fn = jax.jit(
+                self._make_patch_forward(self.use_device_component_filter)
+            )
         return self._predict_fn
+
+    # Assembly op the fused whole-page program implements; the subclass
+    # overrides it together with assemble_predictions.
+    _fused_assembly = "max"
+
+    def _get_fused_page_fn(self, padded_shape: Tuple[int, int, int], n_patches: int):
+        """One jitted program for a whole page tiling: extract all patches
+        from the (padded) uint8 page on device, run the patch forward in
+        fixed-size batches under a fori_loop, and scatter each patch's
+        probabilities into the page canvas with this class's assembly op
+        (max for AnalysisSegmenter, summed voting for
+        VotingAssemblySegmenter). The host uploads the page ONCE and fetches
+        ONE assembled canvas — no per-batch dispatch round-trips and no host
+        assembly loop (reference :130-164 runs strictly serially per batch).
+        Compiled once per (page tiling, hyperparams); cached."""
+        key = (padded_shape, n_patches, self.batch_size, self._fused_assembly)
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+
+        # No host stage exists in the fused path, so the contour-area
+        # filter must run on device regardless of use_device_component_filter.
+        forward = self._make_patch_forward(device_filter=True)
+        p = self.patch_size
+        b = self.batch_size
+        nc = self.segmenter_config.num_classes
+        n_batches = math.ceil(n_patches / b)
+        mode = self._fused_assembly
+        hp, wp, channels = padded_shape
+        lax = jax.lax
+
+        @jax.jit
+        def fused(page, tops):
+            # page: (hp, wp, channels) uint8; tops: (n_batches*b, 2) int32
+            # (top, left) per patch, zero-filled past n_patches.
+            if mode == "max":
+                init = jnp.full((hp, wp, nc), -jnp.inf, jnp.float32)
+            else:
+                init = jnp.zeros((hp, wp, nc), jnp.float32)
+
+            def batch_body(i, canvas):
+                tls = lax.dynamic_slice(tops, (i * b, 0), (b, 2))
+                patches = jax.vmap(
+                    lambda t: lax.dynamic_slice(
+                        page, (t[0], t[1], 0), (p, p, channels)
+                    )
+                )(tls)
+                probs = forward(patches)
+                # Padding patches past n_patches must not contribute: the
+                # assembly identity is -inf for max, 0 for summed voting.
+                valid = (i * b + jnp.arange(b)) < n_patches
+                if mode == "max":
+                    probs = jnp.where(valid[:, None, None, None], probs, -jnp.inf)
+                else:
+                    probs = probs * valid[:, None, None, None]
+
+                def patch_body(j, canvas):
+                    start = (tls[j, 0], tls[j, 1], 0)
+                    region = lax.dynamic_slice(canvas, start, (p, p, nc))
+                    patch_probs = probs[j]
+                    if mode == "max":
+                        merged = jnp.maximum(region, patch_probs)
+                    else:
+                        merged = region + patch_probs
+                    return lax.dynamic_update_slice(canvas, merged, start)
+
+                return lax.fori_loop(0, b, patch_body, canvas)
+
+            canvas = lax.fori_loop(0, n_batches, batch_body, init)
+            if mode == "vote":
+                total = canvas.sum(axis=-1, keepdims=True)
+                canvas = jnp.nan_to_num(canvas / total)
+            return canvas
+
+        self._fused_fns[key] = fused
+        return fused
+
+    def _segment_page_fused(self, image: Image.Image) -> np.ndarray:
+        arr = np.asarray(image, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w = arr.shape[:2]
+        bboxes = self.calculate_bboxes_for_patches(image.width, image.height)
+        # Pad the page so every patch slice is in-bounds; uint8 zeros
+        # normalize to -1.0 on device, matching the host path's zero-padded
+        # border crops.
+        hp = max(bb.bottom for bb in bboxes)
+        wp = max(bb.right for bb in bboxes)
+        page = np.zeros((hp, wp, arr.shape[2]), dtype=np.uint8)
+        page[:h, :w] = arr
+        n = len(bboxes)
+        n_pad = math.ceil(n / self.batch_size) * self.batch_size
+        tops = np.zeros((n_pad, 2), dtype=np.int32)
+        tops[:n, 0] = [bb.top for bb in bboxes]
+        tops[:n, 1] = [bb.left for bb in bboxes]
+        fused = self._get_fused_page_fn(page.shape, n)
+        canvas = np.asarray(fused(jnp.asarray(page), jnp.asarray(tops)))
+        return canvas[:h, :w]
 
     def calculate_bboxes_for_patches(
         self, image_width: int, image_height: int
@@ -371,6 +486,8 @@ class AnalysisSegmenter:
             side > self.max_image_size for side in image.size
         ):
             image.thumbnail((self.max_image_size, self.max_image_size))
+        if self.fused_page_inference:
+            return self._segment_page_fused(image)
         patches = self.crop_and_batch_patches(image)
         predicted = self.predict_patches(patches)
         return self.assemble_predictions(predicted, image.size)
@@ -390,6 +507,8 @@ class AnalysisSegmenter:
 
 class VotingAssemblySegmenter(AnalysisSegmenter):
     """Summed-confidence voting assembly (reference :198-223)."""
+
+    _fused_assembly = "vote"
 
     def assemble_predictions(
         self, patches: List[dict], output_size: Tuple[int, int]

@@ -1,0 +1,110 @@
+"""Fused whole-page inference == the batched patch path.
+
+`AnalysisSegmenter(fused_page_inference=True)` runs patch extraction, the
+patch forward, the device component filter, and max/vote assembly as ONE
+jitted program per page tiling (analysis_segmenter._get_fused_page_fn).
+These tests pin it against the unfused path (host patch cropping +
+per-batch predict + numpy assembly), which is itself pinned against the
+reference semantics (analysis_segmenter.py:130-223) elsewhere.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
+from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
+    AnalysisSegmenter,
+    VotingAssemblySegmenter,
+)
+
+
+@pytest.fixture(scope="module")
+def conv_net():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    class TinyConv(nn.Module):
+        num_classes: int = 3
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            return nn.Conv(self.num_classes, (3, 3), padding="SAME")(x)
+
+    net = TinyConv()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    return net, variables
+
+
+COLOR_MAP = {
+    "background": "#000000",
+    "printed_text": "#0000FF",
+    "handwritten_text": "#FF0000",
+}
+
+
+def _build(cls, conv_net, fused, min_contour_area, **kwargs):
+    net, variables = conv_net
+    return cls(
+        None,
+        class_to_color_map=COLOR_MAP,
+        network=net,
+        network_variables=variables,
+        config={"image_size": 16, "batch_size": 4, "num_classes": 3},
+        segmenter_config=SegmenterConfig(
+            num_classes=3, min_confidence=0.0, min_contour_area=min_contour_area
+        ),
+        # the fused program always filters on device; match the unfused side
+        use_device_component_filter=min_contour_area > 0,
+        fused_page_inference=fused,
+        **kwargs,
+    )
+
+
+@pytest.mark.parametrize("cls", [AnalysisSegmenter, VotingAssemblySegmenter])
+@pytest.mark.parametrize(
+    "page_hw,overlap_kwargs",
+    [
+        ((30, 46), {}),  # ragged page, automatic even overlap + zero-pad border
+        ((32, 32), {"patch_overlap_factor": 0.5}),  # heavy overlap
+        ((16, 16), {}),  # single patch, padded batch
+    ],
+)
+def test_fused_matches_unfused(cls, conv_net, page_hw, overlap_kwargs):
+    rng = np.random.default_rng(0)
+    page = Image.fromarray(
+        rng.integers(0, 255, (*page_hw, 3), np.uint8), mode="RGB"
+    )
+    unfused = _build(cls, conv_net, False, 0, **overlap_kwargs)
+    fused = _build(cls, conv_net, True, 0, **overlap_kwargs)
+    a = unfused.segment_image(page)
+    b = fused.segment_image(page)
+    assert b.shape == (*page_hw, 3)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_matches_unfused_with_device_filter(conv_net):
+    rng = np.random.default_rng(1)
+    page = Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8), "RGB")
+    unfused = _build(VotingAssemblySegmenter, conv_net, False, 12)
+    fused = _build(VotingAssemblySegmenter, conv_net, True, 12)
+    np.testing.assert_allclose(
+        unfused.segment_image(page), fused.segment_image(page), atol=1e-5
+    )
+
+
+def test_fused_set_hyperparams_recompiles(conv_net):
+    rng = np.random.default_rng(2)
+    page = Image.fromarray(rng.integers(0, 255, (24, 24, 3), np.uint8), "RGB")
+    seg = _build(VotingAssemblySegmenter, conv_net, True, 0)
+    first = seg.segment_image(page)
+    assert seg._fused_fns
+    seg.set_hyperparams({"min_confidence": 0.9})
+    assert not seg._fused_fns  # cache invalidated: threshold baked into jit
+    second = seg.segment_image(page)
+    assert seg.segmenter_config.min_confidence == 0.9
+    # a 0.9 threshold on a 3-class softmax zeroes more mass than 0.0 did
+    assert second.sum() <= first.sum() + 1e-6
