@@ -159,7 +159,12 @@ class AnalysisSegmenter:
         # cv2 contour-area filter is replaced by the device component
         # filter whenever min_contour_area > 0.
         self.fused_page_inference = fused_page_inference
-        self._predict_fn = None
+        # Compiled-program caches. min_confidence / min_contour_area are
+        # TRACED arguments of these programs, so set_hyperparams sweeps
+        # (cli/analyze_image_segments.py) reuse one compiled program across
+        # configs; only the structural 0 <-> >0 transition of the area
+        # filter (and, for the fused path, the page tiling) keys a variant.
+        self._predict_fns: Dict[tuple, object] = {}
         self._fused_fns: Dict[tuple, object] = {}
 
     # ---------------- configuration ----------------
@@ -187,19 +192,17 @@ class AnalysisSegmenter:
         )
 
     def set_hyperparams(self, hyperparam_config: dict) -> None:
-        """Reference set_hyperparams (:52-58)."""
+        """Reference set_hyperparams (:52-58). Thresholds are traced
+        arguments of the compiled programs, so changing them does NOT
+        trigger a recompile (the reference pays nothing per config because
+        torch is eager; here the sweep reuses the cached XLA program)."""
         if "patch_overlap" in hyperparam_config:
             self.set_patch_overlap(*hyperparam_config["patch_overlap"])
         replacements = {}
         if "min_confidence" in hyperparam_config:
             replacements["min_confidence"] = hyperparam_config["min_confidence"]
-            self._predict_fn = None  # min_confidence is baked into the jit
-            self._fused_fns.clear()
         if "min_contour_area" in hyperparam_config:
             replacements["min_contour_area"] = hyperparam_config["min_contour_area"]
-            if self.use_device_component_filter:
-                self._predict_fn = None  # area threshold is baked into the jit
-            self._fused_fns.clear()  # the fused path always device-filters
         if replacements:
             import dataclasses
 
@@ -209,18 +212,18 @@ class AnalysisSegmenter:
 
     # ---------------- prediction ----------------
 
-    def _make_patch_forward(self, device_filter: bool):
-        """Pure traced patch forward: (B, P, P, C) uint8 -> (B, P, P, nc)
-        f32 probabilities, with normalization, softmax + confidence
-        threshold, and (optionally) the device component filter inside."""
-        min_confidence = self.segmenter_config.min_confidence
-        min_contour_area = int(self.segmenter_config.min_contour_area)
+    def _make_patch_forward(self, device_filter: bool, area_filter: bool):
+        """Pure traced patch forward: (images, min_confidence,
+        min_contour_area) -> (B, P, P, nc) f32 probabilities, with
+        normalization, softmax + confidence threshold, and (optionally) the
+        device component filter inside. The thresholds are TRACED scalars —
+        only `device_filter`/`area_filter` shape the program structure."""
         background = self.segmenter_config.background_class_id
         num_classes = self.segmenter_config.num_classes
         network = self.network
         variables = self.network_variables
 
-        def predict(images):
+        def predict(images, min_confidence, min_contour_area):
             # Patches cross the host->device link as uint8 (4x less
             # transfer than normalized f32); the ToTensor+Normalize(0.5)
             # arithmetic (reference :114-128) runs on device with the
@@ -228,7 +231,7 @@ class AnalysisSegmenter:
             images = (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
             logits = network.apply(variables, images, train=False)
             probs = predict_probabilities(logits, min_confidence)
-            if device_filter and min_contour_area > 0:
+            if device_filter and area_filter:
                     from synthesis_in_style_tpu.segmentation.device_cc import (
                         binary_closing,
                         filter_small_components,
@@ -268,12 +271,28 @@ class AnalysisSegmenter:
 
         return predict
 
+    def _area_filter_active(self) -> bool:
+        return float(self.segmenter_config.min_contour_area) > 0
+
     def _get_predict_fn(self):
-        if self._predict_fn is None:
-            self._predict_fn = jax.jit(
-                self._make_patch_forward(self.use_device_component_filter)
-            )
-        return self._predict_fn
+        # area_filter only shapes the program when the device filter is on
+        key = (
+            self.use_device_component_filter,
+            self.use_device_component_filter and self._area_filter_active(),
+        )
+        fn = self._predict_fns.get(key)
+        if fn is None:
+            fn = jax.jit(self._make_patch_forward(*key))
+            self._predict_fns[key] = fn
+        return fn
+
+    def _hyperparam_args(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Current thresholds as strongly-typed device scalars (stable avals
+        -> value changes hit the jit cache)."""
+        return (
+            jnp.float32(self.segmenter_config.min_confidence),
+            jnp.int32(self.segmenter_config.min_contour_area),
+        )
 
     # Assembly op the fused whole-page program implements; the subclass
     # overrides it together with assemble_predictions.
@@ -288,15 +307,23 @@ class AnalysisSegmenter:
         VotingAssemblySegmenter). The host uploads the page ONCE and fetches
         ONE assembled canvas — no per-batch dispatch round-trips and no host
         assembly loop (reference :130-164 runs strictly serially per batch).
-        Compiled once per (page tiling, hyperparams); cached."""
-        key = (padded_shape, n_patches, self.batch_size, self._fused_assembly)
+        Compiled once per page tiling (thresholds are traced); cached."""
+        key = (
+            padded_shape,
+            n_patches,
+            self.batch_size,
+            self._fused_assembly,
+            self._area_filter_active(),
+        )
         fn = self._fused_fns.get(key)
         if fn is not None:
             return fn
 
         # No host stage exists in the fused path, so the contour-area
         # filter must run on device regardless of use_device_component_filter.
-        forward = self._make_patch_forward(device_filter=True)
+        forward = self._make_patch_forward(
+            device_filter=True, area_filter=self._area_filter_active()
+        )
         p = self.patch_size
         b = self.batch_size
         nc = self.segmenter_config.num_classes
@@ -306,7 +333,7 @@ class AnalysisSegmenter:
         lax = jax.lax
 
         @jax.jit
-        def fused(page, tops):
+        def fused(page, tops, min_confidence, min_contour_area):
             # page: (hp, wp, channels) uint8; tops: (n_batches*b, 2) int32
             # (top, left) per patch, zero-filled past n_patches.
             if mode == "max":
@@ -321,7 +348,7 @@ class AnalysisSegmenter:
                         page, (t[0], t[1], 0), (p, p, channels)
                     )
                 )(tls)
-                probs = forward(patches)
+                probs = forward(patches, min_confidence, min_contour_area)
                 # Padding patches past n_patches must not contribute: the
                 # assembly identity is -inf for max, 0 for summed voting.
                 valid = (i * b + jnp.arange(b)) < n_patches
@@ -370,7 +397,9 @@ class AnalysisSegmenter:
         tops[:n, 0] = [bb.top for bb in bboxes]
         tops[:n, 1] = [bb.left for bb in bboxes]
         fused = self._get_fused_page_fn(page.shape, n)
-        canvas = np.asarray(fused(jnp.asarray(page), jnp.asarray(tops)))
+        canvas = np.asarray(
+            fused(jnp.asarray(page), jnp.asarray(tops), *self._hyperparam_args())
+        )
         return canvas[:h, :w]
 
     def calculate_bboxes_for_patches(
@@ -417,6 +446,7 @@ class AnalysisSegmenter:
             except ImportError:
                 pass
         predict = self._get_predict_fn()
+        hyperparams = self._hyperparam_args()
         predicted = []
 
         def drain(entry):
@@ -441,7 +471,9 @@ class AnalysisSegmenter:
             if n < self.batch_size:
                 pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
                 images = np.concatenate([images, pad], axis=0)
-            in_flight.append((predict(jnp.asarray(images)), n, batch["bboxes"]))
+            in_flight.append(
+                (predict(jnp.asarray(images), *hyperparams), n, batch["bboxes"])
+            )
             if len(in_flight) > 4:
                 drain(in_flight.pop(0))
         for entry in in_flight:

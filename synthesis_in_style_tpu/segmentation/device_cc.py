@@ -257,12 +257,20 @@ def component_areas(labels: Array) -> Array:
     return areas[0] if squeeze else areas
 
 
-@partial(jax.jit, static_argnames=("min_area",))
-def filter_small_components(mask: Array, min_area: int) -> Array:
+def filter_small_components(mask: Array, min_area) -> Array:
     """Zero out components with pixel area < min_area (device-side
-    equivalent of the reference's small-contour removal)."""
-    if min_area <= 0:
+    equivalent of the reference's small-contour removal). `min_area` may be
+    a traced scalar so hyperparameter sweeps don't recompile; a concrete
+    min_area <= 0 short-circuits (and a traced min_area <= 0 degenerates to
+    the identity inside the labelling path: every foreground pixel's area
+    is >= 0, so keep == mask)."""
+    if isinstance(min_area, (int, float)) and min_area <= 0:
         return mask
+    return _filter_small_components(mask, min_area)
+
+
+@jax.jit
+def _filter_small_components(mask: Array, min_area) -> Array:
     labels = connected_components(mask)
     squeeze = mask.ndim == 2
     if squeeze:

@@ -96,15 +96,48 @@ def test_fused_matches_unfused_with_device_filter(conv_net):
     )
 
 
-def test_fused_set_hyperparams_recompiles(conv_net):
+def test_fused_set_hyperparams_no_recompile(conv_net):
+    """Thresholds are traced arguments: sweeping them must (a) change the
+    output and (b) reuse the SAME compiled program — the sweep CLI's
+    per-config cost is one dispatch, not one XLA compile."""
     rng = np.random.default_rng(2)
     page = Image.fromarray(rng.integers(0, 255, (24, 24, 3), np.uint8), "RGB")
     seg = _build(VotingAssemblySegmenter, conv_net, True, 0)
     first = seg.segment_image(page)
-    assert seg._fused_fns
+    assert len(seg._fused_fns) == 1
+    (fused_before,) = seg._fused_fns.values()
     seg.set_hyperparams({"min_confidence": 0.9})
-    assert not seg._fused_fns  # cache invalidated: threshold baked into jit
     second = seg.segment_image(page)
     assert seg.segmenter_config.min_confidence == 0.9
+    assert len(seg._fused_fns) == 1  # same tiling + same filter structure
+    (fused_after,) = seg._fused_fns.values()
+    assert fused_after is fused_before
+    # the traced threshold reached the program: only ONE trace happened
+    # for this jitted callable across both configs
+    assert fused_after._cache_size() == 1
     # a 0.9 threshold on a 3-class softmax zeroes more mass than 0.0 did
     assert second.sum() <= first.sum() + 1e-6
+    assert not np.allclose(first, second)
+
+
+def test_unfused_sweep_no_recompile(conv_net):
+    """The per-patch path likewise keys its compiled programs only on the
+    (device_filter, area>0) structure; positive-area sweeps share one."""
+    rng = np.random.default_rng(3)
+    page = Image.fromarray(rng.integers(0, 255, (24, 24, 3), np.uint8), "RGB")
+    seg = _build(VotingAssemblySegmenter, conv_net, False, 12)
+    outs = []
+    for area in (12, 40):
+        for conf in (0.0, 0.9):
+            seg.set_hyperparams(
+                {"min_confidence": conf, "min_contour_area": area}
+            )
+            outs.append(seg.segment_image(page))
+    assert len(seg._predict_fns) == 1
+    (predict,) = seg._predict_fns.values()
+    assert predict._cache_size() == 1
+    assert not np.allclose(outs[0], outs[1])
+    # crossing the 0 <-> >0 area boundary keys the one structural variant
+    seg.set_hyperparams({"min_contour_area": 0})
+    seg.segment_image(page)
+    assert len(seg._predict_fns) == 2
