@@ -234,11 +234,18 @@ def main(args: argparse.Namespace) -> None:
             if args.convert_to_black_white:
                 image = image.convert("L")
 
-            assembled_prediction = segmenter.segment_image(image)
+            if args.visualize_segmentation:
+                assembled_prediction = segmenter.segment_image(image)
+                predicted = np.argmax(assembled_prediction, axis=-1)
+            else:
+                # Evaluation only needs class ids: fetch the device-argmaxed
+                # uint8 canvas (num_classes*4x fewer device→host bytes on
+                # the fused path; identical argmax semantics).
+                assembled_prediction = None
+                predicted = segmenter.segment_image_classes(image)
 
             if evaluate:
                 try:
-                    predicted = np.argmax(assembled_prediction, axis=-1)
                     gt = load_ground_truth_classes(
                         image_path, args.ground_truth_dir, class_to_color_map
                     )

@@ -91,6 +91,14 @@ def main() -> None:
                         help="Whole page as ONE jitted program (device "
                         "patch extraction + forward + component filter + "
                         "voting assembly).")
+    parser.add_argument("--pages-per-batch", type=int, default=0,
+                        help="Throughput mode: segment_images with N "
+                        "same-tiling pages per fused dispatch (implies "
+                        "--fused).")
+    parser.add_argument("--classes", action="store_true", default=False,
+                        help="Fetch device-argmaxed uint8 class canvases "
+                        "(segment_image_classes) instead of f32 "
+                        "confidences — the evaluation consumer's path.")
     args = parser.parse_args()
 
     import jax
@@ -111,7 +119,7 @@ def main() -> None:
         ckpt,
         class_to_color_map=color_map,
         print_progress=False,
-        fused_page_inference=args.fused,
+        fused_page_inference=args.fused or args.pages_per_batch > 1,
     )
     segmenter.set_hyperparams(
         {
@@ -126,12 +134,28 @@ def main() -> None:
     for spec in args.sizes.split(","):
         w, h = (int(v) for v in spec.split("x"))
         pages = [_synthetic_page(rng, w, h) for _ in range(args.pages)]
-        segmenter.segment_image(pages[0])  # warm/compile for this tiling
-        t0 = time.perf_counter()
-        for page in pages:
-            out = segmenter.segment_image(page)
-            assert out is not None
-        dt = time.perf_counter() - t0
+        output = "classes" if args.classes else "probs"
+        if args.pages_per_batch > 1:
+            # warm/compile the batched program for this tiling
+            segmenter.segment_images(
+                pages[: args.pages_per_batch], args.pages_per_batch, output
+            )
+            t0 = time.perf_counter()
+            outs = segmenter.segment_images(pages, args.pages_per_batch, output)
+            assert all(o is not None for o in outs)
+            dt = time.perf_counter() - t0
+        else:
+            one_page = (
+                segmenter.segment_image_classes
+                if args.classes
+                else segmenter.segment_image
+            )
+            one_page(pages[0])  # warm/compile for this tiling
+            t0 = time.perf_counter()
+            for page in pages:
+                out = one_page(page)
+                assert out is not None
+            dt = time.perf_counter() - t0
         per = dt / len(pages)
         results.append(
             {

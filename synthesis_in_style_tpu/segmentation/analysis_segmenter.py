@@ -166,6 +166,7 @@ class AnalysisSegmenter:
         # filter (and, for the fused path, the page tiling) keys a variant.
         self._predict_fns: Dict[tuple, object] = {}
         self._fused_fns: Dict[tuple, object] = {}
+        self._fused_pages_fns: Dict[tuple, object] = {}
 
     # ---------------- configuration ----------------
 
@@ -298,7 +299,12 @@ class AnalysisSegmenter:
     # overrides it together with assemble_predictions.
     _fused_assembly = "max"
 
-    def _get_fused_page_fn(self, padded_shape: Tuple[int, int, int], n_patches: int):
+    def _get_fused_page_fn(
+        self,
+        padded_shape: Tuple[int, int, int],
+        n_patches: int,
+        output: str = "probs",
+    ):
         """One jitted program for a whole page tiling: extract all patches
         from the (padded) uint8 page on device, run the patch forward in
         fixed-size batches under a fori_loop, and scatter each patch's
@@ -307,13 +313,19 @@ class AnalysisSegmenter:
         VotingAssemblySegmenter). The host uploads the page ONCE and fetches
         ONE assembled canvas — no per-batch dispatch round-trips and no host
         assembly loop (reference :130-164 runs strictly serially per batch).
-        Compiled once per page tiling (thresholds are traced); cached."""
+        Compiled once per page tiling (thresholds are traced); cached.
+
+        output="classes" appends a device argmax and returns a (hp, wp)
+        uint8 class-id canvas instead of (hp, wp, nc) f32 confidences —
+        num_classes*4x fewer device→host bytes for consumers that argmax
+        anyway (evaluation, bbox/contour extraction)."""
         key = (
             padded_shape,
             n_patches,
             self.batch_size,
             self._fused_assembly,
             self._area_filter_active(),
+            output,
         )
         fn = self._fused_fns.get(key)
         if fn is not None:
@@ -370,6 +382,11 @@ class AnalysisSegmenter:
                 return lax.fori_loop(0, b, patch_body, canvas)
 
             canvas = lax.fori_loop(0, n_batches, batch_body, init)
+            if output == "classes":
+                # Vote normalization (divide by a per-pixel positive total)
+                # is argmax-invariant, so skip it; all-zero vote pixels and
+                # nan_to_num'd pixels both argmax to class 0 either way.
+                return jnp.argmax(canvas, axis=-1).astype(jnp.uint8)
             if mode == "vote":
                 total = canvas.sum(axis=-1, keepdims=True)
                 canvas = jnp.nan_to_num(canvas / total)
@@ -378,7 +395,124 @@ class AnalysisSegmenter:
         self._fused_fns[key] = fused
         return fused
 
-    def _segment_page_fused(self, image: Image.Image) -> np.ndarray:
+    def _get_fused_pages_fn(
+        self,
+        padded_shape: Tuple[int, int, int],
+        n_patches: int,
+        n_pages: int,
+        output: str = "probs",
+    ):
+        """Throughput mode: N same-tiling pages as ONE dispatch. `lax.map`
+        over the single-page fused program keeps its slice/update-slice
+        patch scatter intact (a vmap would lower them to gather/scatter);
+        the device runs the pages back-to-back with zero host round-trips
+        in between, so dispatch/transfer latency is paid once per group
+        instead of once per page."""
+        key = (
+            padded_shape,
+            n_patches,
+            self.batch_size,
+            self._fused_assembly,
+            self._area_filter_active(),
+            n_pages,
+            output,
+        )
+        fn = self._fused_pages_fns.get(key)
+        if fn is not None:
+            return fn
+        single = self._get_fused_page_fn(padded_shape, n_patches, output)
+
+        @jax.jit
+        def fused_pages(pages, tops, min_confidence, min_contour_area):
+            # pages: (N, hp, wp, C) uint8; tops: (N, n_batches*b, 2) int32
+            return jax.lax.map(
+                lambda pt: single(pt[0], pt[1], min_confidence, min_contour_area),
+                (pages, tops),
+            )
+
+        self._fused_pages_fns[key] = fused_pages
+        return fused_pages
+
+    def segment_images(
+        self,
+        images: List[Image.Image],
+        pages_per_batch: int = 4,
+        output: str = "probs",
+    ) -> List[np.ndarray]:
+        """Batched whole-page serving: segment many pages, grouping pages
+        with identical tiling into fused multi-page dispatches of
+        `pages_per_batch` (short final chunks are padded by repetition and
+        the padding results dropped). Requires `fused_page_inference=True`;
+        otherwise falls back to per-page `segment_image`. Results are
+        returned in input order. The reference has no batched serving
+        entry point (analysis_segmenter.py:176-188 is strictly one page
+        per call)."""
+        if not self.fused_page_inference or pages_per_batch <= 1:
+            if output == "classes":
+                return [self.segment_image_classes(image) for image in images]
+            return [self.segment_image(image) for image in images]
+
+        groups: Dict[tuple, List[tuple]] = {}
+        for idx, image in enumerate(images):
+            image = self.convert_image_to_correct_color_space(image)
+            if self.max_image_size and any(
+                side > self.max_image_size for side in image.size
+            ):
+                image.thumbnail((self.max_image_size, self.max_image_size))
+            arr = np.asarray(image, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            bboxes = self.calculate_bboxes_for_patches(image.width, image.height)
+            hp = max(bb.bottom for bb in bboxes)
+            wp = max(bb.right for bb in bboxes)
+            sig = (hp, wp, arr.shape[2], len(bboxes))
+            groups.setdefault(sig, []).append((idx, arr, bboxes))
+
+        results: List[Optional[np.ndarray]] = [None] * len(images)
+        hyperparams = self._hyperparam_args()
+
+        def drain(entry):
+            canvases, chunk = entry
+            canvases = np.asarray(canvases)
+            for canvas, (idx, arr, _) in zip(canvases, chunk):
+                h, w = arr.shape[:2]
+                results[idx] = canvas[:h, :w]
+
+        for (hp, wp, ch, n), members in groups.items():
+            n_pad = math.ceil(n / self.batch_size) * self.batch_size
+            fused = self._get_fused_pages_fn(
+                (hp, wp, ch), n, pages_per_batch, output
+            )
+            # Async dispatch: keep a couple of groups in flight so the
+            # device works on group i+1 while the host fetches group i.
+            in_flight: List[tuple] = []
+            for start in range(0, len(members), pages_per_batch):
+                chunk = members[start : start + pages_per_batch]
+                pages = np.zeros((pages_per_batch, hp, wp, ch), dtype=np.uint8)
+                tops = np.zeros((pages_per_batch, n_pad, 2), dtype=np.int32)
+                for j, (_, arr, bboxes) in enumerate(chunk):
+                    h, w = arr.shape[:2]
+                    pages[j, :h, :w] = arr
+                    tops[j, :n, 0] = [bb.top for bb in bboxes]
+                    tops[j, :n, 1] = [bb.left for bb in bboxes]
+                for j in range(len(chunk), pages_per_batch):
+                    pages[j] = pages[0]
+                    tops[j] = tops[0]
+                in_flight.append(
+                    (
+                        fused(jnp.asarray(pages), jnp.asarray(tops), *hyperparams),
+                        chunk,
+                    )
+                )
+                if len(in_flight) > 2:
+                    drain(in_flight.pop(0))
+            for entry in in_flight:
+                drain(entry)
+        return results  # type: ignore[return-value]
+
+    def _segment_page_fused(
+        self, image: Image.Image, output: str = "probs"
+    ) -> np.ndarray:
         arr = np.asarray(image, dtype=np.uint8)
         if arr.ndim == 2:
             arr = arr[:, :, None]
@@ -396,7 +530,7 @@ class AnalysisSegmenter:
         tops = np.zeros((n_pad, 2), dtype=np.int32)
         tops[:n, 0] = [bb.top for bb in bboxes]
         tops[:n, 1] = [bb.left for bb in bboxes]
-        fused = self._get_fused_page_fn(page.shape, n)
+        fused = self._get_fused_page_fn(page.shape, n, output)
         canvas = np.asarray(
             fused(jnp.asarray(page), jnp.asarray(tops), *self._hyperparam_args())
         )
@@ -523,6 +657,22 @@ class AnalysisSegmenter:
         patches = self.crop_and_batch_patches(image)
         predicted = self.predict_patches(patches)
         return self.assemble_predictions(predicted, image.size)
+
+    def segment_image_classes(self, image: Image.Image) -> np.ndarray:
+        """Full-page inference returning the (H, W) uint8 class-id map
+        (argmax of the assembled confidences). On the fused path the argmax
+        runs on device, so the fetch is num_classes*4x smaller than
+        `segment_image` — use this whenever downstream only needs class
+        ids (evaluation, bbox/contour extraction), and `segment_image`
+        when it needs the confidences themselves."""
+        if self.fused_page_inference:
+            image = self.convert_image_to_correct_color_space(image)
+            if self.max_image_size and any(
+                side > self.max_image_size for side in image.size
+            ):
+                image.thumbnail((self.max_image_size, self.max_image_size))
+            return self._segment_page_fused(image, output="classes")
+        return np.argmax(self.segment_image(image), axis=-1).astype(np.uint8)
 
     def prediction_to_color_image(self, assembled_prediction: np.ndarray) -> Image.Image:
         from synthesis_in_style_tpu.visualization.utils import (

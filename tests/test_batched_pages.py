@@ -1,0 +1,110 @@
+"""Batched multi-page serving (`segment_images`) == per-page `segment_image`.
+
+Throughput mode: pages with the same tiling are grouped and each group of
+`pages_per_batch` pages runs as ONE fused dispatch (`lax.map` over the
+single-page fused program). These tests pin batched == per-page for both
+assembly modes, mixed page sizes in one call, and chunk padding (group size
+not divisible by pages_per_batch).
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
+from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
+    AnalysisSegmenter,
+    VotingAssemblySegmenter,
+)
+
+from test_fused_page_inference import COLOR_MAP, _build, conv_net  # noqa: F401
+
+
+def _pages(rng, sizes):
+    return [
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8), "RGB")
+        for (h, w) in sizes
+    ]
+
+
+@pytest.mark.parametrize("cls", [AnalysisSegmenter, VotingAssemblySegmenter])
+def test_batched_matches_per_page(cls, conv_net):
+    rng = np.random.default_rng(0)
+    pages = _pages(rng, [(30, 46)] * 5)  # 5 pages, pages_per_batch=2 -> padded chunk
+    seg = _build(cls, conv_net, True, 0)
+    per_page = [seg.segment_image(p) for p in pages]
+    batched = seg.segment_images(pages, pages_per_batch=2)
+    assert len(batched) == 5
+    for a, b in zip(per_page, batched):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_batched_mixed_sizes_and_filter(conv_net):
+    """Mixed tilings in one call are grouped per tiling; device area filter
+    active; results come back in input order."""
+    rng = np.random.default_rng(1)
+    pages = _pages(rng, [(40, 40), (24, 24), (40, 40), (24, 24), (40, 40)])
+    seg = _build(VotingAssemblySegmenter, conv_net, True, 12)
+    per_page = [seg.segment_image(p) for p in pages]
+    batched = seg.segment_images(pages, pages_per_batch=4)
+    for a, b in zip(per_page, batched):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_batched_sweep_no_recompile(conv_net):
+    """Thresholds stay traced in the batched program too."""
+    rng = np.random.default_rng(2)
+    pages = _pages(rng, [(24, 24)] * 3)
+    seg = _build(VotingAssemblySegmenter, conv_net, True, 0)
+    first = seg.segment_images(pages, pages_per_batch=2)
+    seg.set_hyperparams({"min_confidence": 0.9})
+    second = seg.segment_images(pages, pages_per_batch=2)
+    assert len(seg._fused_pages_fns) == 1
+    (fn,) = seg._fused_pages_fns.values()
+    assert fn._cache_size() == 1
+    assert not np.allclose(first[0], second[0])
+
+
+def test_unfused_falls_back_to_per_page(conv_net):
+    rng = np.random.default_rng(3)
+    pages = _pages(rng, [(24, 24)] * 2)
+    seg = _build(VotingAssemblySegmenter, conv_net, False, 0)
+    batched = seg.segment_images(pages)
+    per_page = [seg.segment_image(p) for p in pages]
+    for a, b in zip(per_page, batched):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.parametrize("cls", [AnalysisSegmenter, VotingAssemblySegmenter])
+@pytest.mark.parametrize("fused", [True, False])
+def test_classes_output_matches_argmax(cls, conv_net, fused):
+    """segment_image_classes == argmax(segment_image) — on the fused path
+    the argmax runs on device (uint8 fetch), on the unfused path on host."""
+    rng = np.random.default_rng(4)
+    page = Image.fromarray(rng.integers(0, 255, (30, 46, 3), np.uint8), "RGB")
+    seg = _build(cls, conv_net, fused, 0)
+    probs = seg.segment_image(page)
+    classes = seg.segment_image_classes(page)
+    assert classes.dtype == np.uint8
+    np.testing.assert_array_equal(classes, np.argmax(probs, axis=-1))
+
+
+def test_classes_output_with_device_filter(conv_net):
+    rng = np.random.default_rng(5)
+    page = Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8), "RGB")
+    seg = _build(VotingAssemblySegmenter, conv_net, True, 12)
+    np.testing.assert_array_equal(
+        seg.segment_image_classes(page),
+        np.argmax(seg.segment_image(page), axis=-1),
+    )
+
+
+def test_batched_classes_matches_per_page(conv_net):
+    rng = np.random.default_rng(6)
+    pages = _pages(rng, [(30, 46)] * 3)
+    seg = _build(VotingAssemblySegmenter, conv_net, True, 0)
+    per_page = [seg.segment_image_classes(p) for p in pages]
+    batched = seg.segment_images(pages, pages_per_batch=2, output="classes")
+    for a, b in zip(per_page, batched):
+        np.testing.assert_array_equal(a, b)
