@@ -22,7 +22,7 @@ import json
 import re
 from collections import defaultdict
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 from PIL import Image, UnidentifiedImageError
@@ -216,23 +216,83 @@ def main(args: argparse.Namespace) -> None:
     image_paths = [f for f in args.image_dir.glob("**/*") if is_image(f)]
     assert len(image_paths) > 0, "There are no images in the given directory."
 
+    pages_per_batch = args.pages_per_batch or int(
+        model_config.get("pages_per_batch", 0)
+    )
+
+    def load_one(image_path: Path) -> Optional[Image.Image]:
+        try:
+            image = Image.open(image_path)
+        except UnidentifiedImageError:
+            print(f"File {image_path} is not an image.")
+            return None
+        if args.resize:
+            image = resize_image(image, args.resize)
+        if args.convert_to_black_white:
+            image = image.convert("L")
+        return image
+
     for hyperparam_config in hyperparam_configs:
         segmenter.set_hyperparams(hyperparam_config)
         if evaluate:
             results["runs"].append(defaultdict(dict))
         global_confusion_matrix = np.zeros((num_classes, num_classes))
 
-        for image_path in image_paths:
+        def evaluate_one(image_path: Path, predicted: np.ndarray) -> None:
             try:
-                original_image = Image.open(image_path)
-            except UnidentifiedImageError:
-                print(f"File {image_path} is not an image.")
+                gt = load_ground_truth_classes(
+                    image_path, args.ground_truth_dir, class_to_color_map
+                )
+                assert predicted.shape == gt.shape, (
+                    "Shapes of prediction and ground truth do not match"
+                )
+                cm = calculate_confusion_matrix(gt, predicted, num_classes)
+                results["runs"][-1]["confusion_matrices"][image_path.stem] = [
+                    float(v) for v in cm.reshape(-1)
+                ]
+                global_confusion_matrix[...] += cm
+                for metric, do_calc in scores_to_calculate.items():
+                    if do_calc:
+                        results["runs"][-1][f"detailed_{metric}_scores"][
+                            image_path.stem
+                        ] = calculate_metric(cm, class_names, metric)
+            except Exception as e:  # noqa: BLE001 — parity (ref :247-272)
+                print(
+                    f"The confusion matrix calculation produced an error:\n"
+                    f"'{e}'\nThe calculation for {image_path} will be "
+                    "skipped.\n"
+                )
+
+        if (
+            pages_per_batch > 1
+            and not args.visualize_segmentation
+            and segmenter.fused_page_inference
+        ):
+            # Throughput mode: same-tiling pages grouped into one fused
+            # dispatch each, device-argmaxed uint8 fetch. Chunked to bound
+            # host memory for large image dirs.
+            loaded = [(p, load_one(p)) for p in image_paths]
+            loaded = [(p, im) for p, im in loaded if im is not None]
+            chunk_size = 4 * pages_per_batch
+            for start in range(0, len(loaded), chunk_size):
+                chunk = loaded[start : start + chunk_size]
+                predictions = segmenter.segment_images(
+                    [im for _, im in chunk], pages_per_batch, output="classes"
+                )
+                if evaluate:
+                    for (image_path, _), predicted in zip(chunk, predictions):
+                        evaluate_one(image_path, predicted)
+            if evaluate:
+                _finalize_run(
+                    results, global_confusion_matrix, scores_to_calculate,
+                    class_names, hyperparam_config, output_json_path,
+                )
+            continue
+
+        for image_path in image_paths:
+            image = load_one(image_path)
+            if image is None:
                 continue
-            image = original_image
-            if args.resize:
-                image = resize_image(image, args.resize)
-            if args.convert_to_black_white:
-                image = image.convert("L")
 
             if args.visualize_segmentation:
                 assembled_prediction = segmenter.segment_image(image)
@@ -245,29 +305,7 @@ def main(args: argparse.Namespace) -> None:
                 predicted = segmenter.segment_image_classes(image)
 
             if evaluate:
-                try:
-                    gt = load_ground_truth_classes(
-                        image_path, args.ground_truth_dir, class_to_color_map
-                    )
-                    assert predicted.shape == gt.shape, (
-                        "Shapes of prediction and ground truth do not match"
-                    )
-                    cm = calculate_confusion_matrix(gt, predicted, num_classes)
-                    results["runs"][-1]["confusion_matrices"][image_path.stem] = [
-                        float(v) for v in cm.reshape(-1)
-                    ]
-                    global_confusion_matrix += cm
-                    for metric, do_calc in scores_to_calculate.items():
-                        if do_calc:
-                            results["runs"][-1][f"detailed_{metric}_scores"][
-                                image_path.stem
-                            ] = calculate_metric(cm, class_names, metric)
-                except Exception as e:  # noqa: BLE001 — parity (ref :247-272)
-                    print(
-                        f"The confusion matrix calculation produced an error:\n"
-                        f"'{e}'\nThe calculation for {image_path} will be "
-                        "skipped.\n"
-                    )
+                evaluate_one(image_path, predicted)
 
             if args.visualize_segmentation:
                 prefix = (
@@ -286,16 +324,24 @@ def main(args: argparse.Namespace) -> None:
                     )
 
         if evaluate:
-            for metric, do_calc in scores_to_calculate.items():
-                if do_calc:
-                    results["runs"][-1][f"average_{metric}_scores"] = (
-                        calculate_metric(
-                            global_confusion_matrix, class_names, metric
-                        )
-                    )
-            results["runs"][-1]["hyperparams"] = hyperparam_config
-            with open(output_json_path, "w") as out_json:
-                json.dump(results, out_json, indent=4)
+            _finalize_run(
+                results, global_confusion_matrix, scores_to_calculate,
+                class_names, hyperparam_config, output_json_path,
+            )
+
+
+def _finalize_run(results, global_confusion_matrix, scores_to_calculate,
+                  class_names, hyperparam_config, output_json_path) -> None:
+    """Per-hyperparam-config result aggregation + incremental results.json
+    dump (reference :257-282)."""
+    for metric, do_calc in scores_to_calculate.items():
+        if do_calc:
+            results["runs"][-1][f"average_{metric}_scores"] = calculate_metric(
+                global_confusion_matrix, class_names, metric
+            )
+    results["runs"][-1]["hyperparams"] = hyperparam_config
+    with open(output_json_path, "w") as out_json:
+        json.dump(results, out_json, indent=4)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -351,6 +397,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "extraction + forward + device component filter + "
                         "voting assembly on device). Implies the device "
                         "component filter.")
+    parser.add_argument("--pages-per-batch", type=int, default=0,
+                        help="Throughput mode (requires fused page "
+                        "inference; evaluation only, ignored with -vis): "
+                        "group N same-tiling pages into one fused dispatch "
+                        "with device-argmaxed uint8 class output.")
     return parser
 
 

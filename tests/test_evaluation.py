@@ -213,3 +213,83 @@ def test_analyze_image_segments_cli(tmp_path):
     )
     pm.main(pm_args)
     assert list((tmp_path / "figs").glob("*.png"))
+
+
+def test_analyze_image_segments_cli_batched_pages(tmp_path):
+    """--pages-per-batch N (batched fused dispatch, device-argmax uint8
+    output) produces the same results.json metrics as the per-page fused
+    path."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.cli import analyze_image_segments as ais
+    from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
+    from synthesis_in_style_tpu.utils.checkpoint import save_pytree
+
+    class_to_color = {
+        "background": "#000000",
+        "printed_text": "#0000FF",
+        "handwritten_text": "#FF0000",
+    }
+    colors_path = tmp_path / "colors.json"
+    colors_path.write_text(json.dumps(class_to_color))
+
+    run_dir = tmp_path / "run"
+    ckpt = run_dir / "checkpoints" / "iter_00000001"
+    (run_dir / "config").mkdir(parents=True)
+    (run_dir / "config" / "config.json").write_text(json.dumps({
+        "network": "DocUFCN", "num_classes": 3, "input_dim": 3,
+        "image_size": 32, "batch_size": 2,
+        "class_to_color_map": str(colors_path),
+    }))
+    model = DocUFCN(num_classes=3)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), train=False,
+    )
+    save_pytree(ckpt, {"segmentation_network": variables})
+
+    rng = np.random.default_rng(7)
+    pages = tmp_path / "pages"
+    gts = tmp_path / "gt"
+    pages.mkdir()
+    gts.mkdir()
+    # 3 pages of one size + 2 of another: exercises grouping AND the padded
+    # short chunk (3 % 2 != 0)
+    for i, (h, w) in enumerate([(40, 48)] * 3 + [(36, 36)] * 2):
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
+            pages / f"page_{i}.png"
+        )
+        gt = np.zeros((h, w, 3), np.uint8)
+        gt[10:30, 10:30] = (0, 0, 255)
+        Image.fromarray(gt).save(gts / f"page_{i}_gt.png")
+
+    eval_config = {
+        "checkpoint": str(ckpt),
+        "class_to_color_map": str(colors_path),
+    }
+    eval_config_path = tmp_path / "eval_config.json"
+    eval_config_path.write_text(json.dumps(eval_config))
+
+    outs = []
+    for name, extra in [
+        ("per_page", []),
+        ("batched", ["--pages-per-batch", "2"]),
+    ]:
+        out_dir = tmp_path / name
+        args = ais.build_parser().parse_args(
+            [str(pages), "-f", str(eval_config_path), "-gt", str(gts),
+             "-cds", "-cio", "-o", str(out_dir),
+             "--min-confidence", "0.3", "0.7",
+             "--fused-page-inference", *extra]
+        )
+        ais.main(args)
+        outs.append(json.loads((out_dir / "results.json").read_text()))
+
+    per_page, batched = outs
+    assert len(batched["runs"]) == 2
+    for run_a, run_b in zip(per_page["runs"], batched["runs"]):
+        assert run_a["hyperparams"] == run_b["hyperparams"]
+        assert run_a["confusion_matrices"] == run_b["confusion_matrices"]
+        assert run_a["average_dice_scores"] == run_b["average_dice_scores"]
+        assert run_a["average_iou_scores"] == run_b["average_iou_scores"]
