@@ -122,6 +122,7 @@ class AnalysisSegmenter:
         segmenter_config: Optional[SegmenterConfig] = None,
         use_device_component_filter: bool = False,
         fused_page_inference: bool = False,
+        mesh=None,
     ):
         if config is None:
             config = load_config_from_checkpoint(model_checkpoint, original_config_path)
@@ -159,6 +160,13 @@ class AnalysisSegmenter:
         # cv2 contour-area filter is replaced by the device component
         # filter whenever min_contour_area > 0.
         self.fused_page_inference = fused_page_inference
+        # Optional multi-chip serving: a 1-D ("data",) jax.sharding.Mesh.
+        # `segment_images` shards its page axis over the mesh — pages are
+        # embarrassingly parallel (each device runs the fused page program
+        # on its own pages, zero collectives), so throughput scales
+        # ~linearly with chips. pages_per_batch must divide by the mesh
+        # size; params/thresholds are replicated.
+        self.mesh = mesh
         # Compiled-program caches. min_confidence / min_contour_area are
         # TRACED arguments of these programs, so set_hyperparams sweeps
         # (cli/analyze_image_segments.py) reuse one compiled program across
@@ -348,10 +356,15 @@ class AnalysisSegmenter:
         def fused(page, tops, min_confidence, min_contour_area):
             # page: (hp, wp, channels) uint8; tops: (n_batches*b, 2) int32
             # (top, left) per patch, zero-filled past n_patches.
+            # The canvas init derives from `page` so its type matches the
+            # loop-carried canvas under shard_map (mesh serving): values
+            # computed from sharded operands carry a device-varying type a
+            # plain jnp.full would not.
+            zero = page[..., :1].astype(jnp.float32) * 0.0  # (hp, wp, 1)
             if mode == "max":
-                init = jnp.full((hp, wp, nc), -jnp.inf, jnp.float32)
+                init = zero + jnp.full((1, 1, nc), -jnp.inf, jnp.float32)
             else:
-                init = jnp.zeros((hp, wp, nc), jnp.float32)
+                init = zero + jnp.zeros((1, 1, nc), jnp.float32)
 
             def batch_body(i, canvas):
                 tls = lax.dynamic_slice(tops, (i * b, 0), (b, 2))
@@ -416,19 +429,37 @@ class AnalysisSegmenter:
             self._area_filter_active(),
             n_pages,
             output,
+            self.mesh,
         )
         fn = self._fused_pages_fns.get(key)
         if fn is not None:
             return fn
         single = self._get_fused_page_fn(padded_shape, n_patches, output)
 
-        @jax.jit
-        def fused_pages(pages, tops, min_confidence, min_contour_area):
+        def mapped(pages, tops, min_confidence, min_contour_area):
             # pages: (N, hp, wp, C) uint8; tops: (N, n_batches*b, 2) int32
             return jax.lax.map(
                 lambda pt: single(pt[0], pt[1], min_confidence, min_contour_area),
                 (pages, tops),
             )
+
+        if self.mesh is not None:
+            # Multi-chip serving: shard the page axis — each device runs
+            # the page program on its own pages, zero collectives.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            fused_pages = jax.jit(
+                shard_map(
+                    mapped,
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(), P()),
+                    out_specs=P(axis),
+                )
+            )
+        else:
+            fused_pages = jax.jit(mapped)
 
         self._fused_pages_fns[key] = fused_pages
         return fused_pages
@@ -451,6 +482,10 @@ class AnalysisSegmenter:
             if output == "classes":
                 return [self.segment_image_classes(image) for image in images]
             return [self.segment_image(image) for image in images]
+        if self.mesh is not None:
+            # each device gets an equal page shard
+            n_dev = self.mesh.devices.size
+            pages_per_batch = math.ceil(pages_per_batch / n_dev) * n_dev
 
         groups: Dict[tuple, List[tuple]] = {}
         for idx, image in enumerate(images):

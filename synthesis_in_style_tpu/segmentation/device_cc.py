@@ -117,8 +117,13 @@ def connected_components(
         _, changed, i = state
         return jnp.logical_and(changed, i < max_iters)
 
+    # The init `changed` is derived from `labels` (value is always True) so
+    # its type matches the loop-carried one under shard_map, where values
+    # computed from sharded operands carry a device-varying type that a
+    # plain replicated `jnp.asarray(True)` would not.
+    changed0 = jnp.logical_or(jnp.any(labels != _INF), True)
     labels, _, _ = lax.while_loop(
-        cond, body, (labels, jnp.asarray(True), jnp.asarray(0))
+        cond, body, (labels, changed0, jnp.asarray(0))
     )
     labels = jnp.where(mask, labels, -1)
     return labels[0] if squeeze else labels

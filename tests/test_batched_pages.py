@@ -108,3 +108,26 @@ def test_batched_classes_matches_per_page(conv_net):
     batched = seg.segment_images(pages, pages_per_batch=2, output="classes")
     for a, b in zip(per_page, batched):
         np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_sharded_serving_matches_single_device(conv_net):
+    """segment_images with an 8-device ("data",) mesh shards the page axis
+    (one page program per device, zero collectives) and must equal the
+    unmeshed path exactly."""
+    import jax
+
+    from synthesis_in_style_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8, "conftest must provide the 8-device mesh"
+    rng = np.random.default_rng(7)
+    pages = _pages(rng, [(30, 46)] * 10)
+    plain = _build(VotingAssemblySegmenter, conv_net, True, 12)
+    meshed = _build(
+        VotingAssemblySegmenter, conv_net, True, 12, mesh=make_mesh(8)
+    )
+    # pages_per_batch=3 rounds up to the mesh size (8)
+    for output in ("probs", "classes"):
+        a = plain.segment_images(pages, pages_per_batch=4, output=output)
+        b = meshed.segment_images(pages, pages_per_batch=3, output=output)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-5)
