@@ -99,6 +99,10 @@ def main() -> None:
                         help="Fetch device-argmaxed uint8 class canvases "
                         "(segment_image_classes) instead of f32 "
                         "confidences — the evaluation consumer's path.")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="Multi-chip serving: shard the page axis of "
+                        "segment_images over an N-device ('data',) mesh "
+                        "(requires --pages-per-batch > 1).")
     args = parser.parse_args()
 
     import jax
@@ -115,11 +119,17 @@ def main() -> None:
     else:
         ckpt, color_map = args.checkpoint, args.color_map
 
+    mesh = None
+    if args.mesh > 1:
+        from synthesis_in_style_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
     segmenter = VotingAssemblySegmenter(
         ckpt,
         class_to_color_map=color_map,
         print_progress=False,
         fused_page_inference=args.fused or args.pages_per_batch > 1,
+        mesh=mesh,
     )
     segmenter.set_hyperparams(
         {
