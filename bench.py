@@ -38,10 +38,10 @@ SIZE = 256
 DTYPE = jnp.bfloat16
 
 
-def main() -> None:
+def main(quantized: bool = False) -> None:
     from synthesis_in_style_tpu.models.stylegan2 import Generator
 
-    gen = Generator(size=SIZE, style_dim=512, n_mlp=8)
+    gen = Generator(size=SIZE, style_dim=512, n_mlp=8, quantized=quantized)
     z0 = jnp.zeros((BATCH, 512))
     variables = gen.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, [z0]
@@ -72,10 +72,13 @@ def main() -> None:
         assert val == val, "NaN accumulator"
         best = max(best, BATCH * N_ITERS / dt)
 
+    metric = "stylegan2_synth_images_per_sec_256px"
+    if quantized:
+        metric += "_w8a8"
     print(
         json.dumps(
             {
-                "metric": "stylegan2_synth_images_per_sec_256px",
+                "metric": metric,
                 "value": round(best, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
@@ -85,4 +88,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(quantized="--quantized" in sys.argv)

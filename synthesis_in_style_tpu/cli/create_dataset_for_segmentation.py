@@ -96,6 +96,10 @@ def build_dataset(
     drop bad images → save PNG pairs."""
     config = load_config_from_checkpoint(args.checkpoint, original_config_path)
     config["batch_size"] = args.batch_size
+    if creation_config.get("quantize", False) or getattr(args, "quantize", False):
+        # int8 serving path (ops/quant.py) — a synthesis-time decision, so
+        # it comes from the creation config / CLI, not the train config
+        config["quantize"] = True
     image_save_base_dir, semantic_segmentation_base_dir = get_base_dirs(args)
 
     gen, variables = load_generator(args.checkpoint, config)
@@ -275,6 +279,14 @@ def build_parser() -> argparse.ArgumentParser:
                         default=False)
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--truncate", action="store_true", default=False)
+    parser.add_argument(
+        "--quantize",
+        action="store_true",
+        default=False,
+        help="w8a8 int8 generator serving path (also creation-config key "
+        "'quantize'); 1.2x synthesis throughput on v5e (MEASUREMENTS.md), "
+        "bf16-faithful outputs (tests/test_quantized_synthesis.py)",
+    )
     parser.add_argument(
         "--contour-workers", type=int, default=0,
         help="worker processes for the host contour stage (0 = in-process); "

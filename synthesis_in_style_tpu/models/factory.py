@@ -31,6 +31,10 @@ def get_generator(
         n_mlp=config.get("n_mlp", 8),
         channel_multiplier=config.get("channel_multiplier", 2),
     )
+    if str(variant) in ("2", "swagan"):
+        # opt-in int8 serving path (ops/quant.py; synthesis configs key
+        # `quantize`) — beyond-parity, see Generator.quantized docstring
+        kwargs["quantized"] = bool(config.get("quantize", False))
     if str(variant) == "swagan":
         return swagan.Generator(**kwargs)
     if str(variant) == "2":

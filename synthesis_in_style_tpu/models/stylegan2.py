@@ -155,6 +155,32 @@ class ModulatedConv2d(nn.Module):
     upsample: bool = False
     downsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    # w8a8 dynamic-quantized conv (ops/quant.py): int8 MXU path, ~1.7-1.9x
+    # per conv on v5e. Serving only — the rounding is non-differentiable.
+    # Demodulation statistics always come from the unquantized f32 weights.
+    quantized: bool = False
+
+    def _mod_conv(
+        self,
+        x: Array,
+        w: Array,
+        stride: int = 1,
+        padding=0,
+        lhs_dilation: Optional[Tuple[int, int]] = None,
+    ) -> Array:
+        if self.quantized and lhs_dilation is None:
+            # int8 only where it wins: the MXU int8 path gives no speedup on
+            # lhs-dilated (upsample) convs (2.44 vs 2.49 ms at 32x32x512->512
+            # b64 v5e), so quantizing them would pay the per-layer
+            # quantize/dequantize passes for nothing; the parity-decomposed
+            # alternative (ops/quant.py conv2d_w8a8_up2) is int32-exact but
+            # measured slower end-to-end — upsample convs stay bf16/f32.
+            from synthesis_in_style_tpu.ops.quant import conv2d_w8a8
+
+            return conv2d_w8a8(x, w, stride=stride, padding=padding)
+        return _conv2d(
+            x, w, stride=stride, padding=padding, lhs_dilation=lhs_dilation
+        )
 
     @nn.compact
     def __call__(
@@ -211,7 +237,7 @@ class ModulatedConv2d(nn.Module):
         if self.upsample:
             x = x * s[:, None, None, :].astype(x.dtype)
             # conv_transpose(stride 2, pad 0) == dilated conv with flipped kernel
-            out = _conv2d(
+            out = self._mod_conv(
                 x,
                 jnp.flip(w, (0, 1)),
                 padding=k - 1,
@@ -227,10 +253,10 @@ class ModulatedConv2d(nn.Module):
             pad1 = p // 2
             x = blur_2d(x, blur_k, (pad0, pad1))
             x = x * s[:, None, None, :].astype(x.dtype)
-            out = _conv2d(x, w, stride=2, padding=0)
+            out = self._mod_conv(x, w, stride=2, padding=0)
         else:
             x = x * s[:, None, None, :].astype(x.dtype)
-            out = _conv2d(x, w, padding=k // 2)
+            out = self._mod_conv(x, w, padding=k // 2)
 
         if demod is not None:
             out = out * demod[:, None, None, :]
@@ -287,8 +313,13 @@ class StyledConv(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     demodulate: bool = True
     fused_blur: bool = False
+    # int8 serving path for the modulated conv (see ModulatedConv2d.quantized);
+    # takes precedence over the Pallas fused-blur tail.
+    quantized: bool = False
 
     def _fused_eligible(self, x: Array) -> bool:
+        if self.quantized:
+            return False
         from synthesis_in_style_tpu.ops.pallas.fused_blur import (
             padded_width,
             supported_shape,
@@ -314,6 +345,7 @@ class StyledConv(nn.Module):
             demodulate=self.demodulate,
             upsample=self.upsample,
             blur_kernel=self.blur_kernel,
+            quantized=self.quantized,
             name="conv",
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out_channel,))
@@ -406,6 +438,11 @@ class Generator(nn.Module):
     # (ops/pallas/fused_blur.py). Bit-different only at bf16 rounding;
     # intended for TPU synthesis workloads (bench, dataset generation).
     fused_blur: bool = False
+    # w8a8 dynamic-quantized StyledConv stack (ops/quant.py): int8 MXU
+    # serving path, 1.2x end-to-end on v5e (MEASUREMENTS.md). ToRGB and
+    # the style MLP stay bf16/f32 (FLOP-trivial; keeps the image
+    # accumulation path full precision). Serving only — non-differentiable.
+    quantized: bool = False
 
     @property
     def log_size(self) -> int:
@@ -445,7 +482,9 @@ class Generator(nn.Module):
         self.const_input = self.param(
             "input", nn.initializers.normal(stddev=1.0), (1, 4, 4, channels[4])
         )
-        self.conv1 = StyledConv(channels[4], 3, blur_kernel=self.blur_kernel)
+        self.conv1 = StyledConv(
+            channels[4], 3, blur_kernel=self.blur_kernel, quantized=self.quantized
+        )
         self.to_rgb1 = ToRGB(upsample=False)
 
         convs = []
@@ -459,10 +498,16 @@ class Generator(nn.Module):
                     upsample=True,
                     blur_kernel=self.blur_kernel,
                     fused_blur=self.fused_blur,
+                    quantized=self.quantized,
                 )
             )
             convs.append(
-                StyledConv(out_channel, 3, blur_kernel=self.blur_kernel)
+                StyledConv(
+                    out_channel,
+                    3,
+                    blur_kernel=self.blur_kernel,
+                    quantized=self.quantized,
+                )
             )
             to_rgbs.append(ToRGB())
         self.convs = convs

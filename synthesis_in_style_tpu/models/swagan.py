@@ -117,6 +117,10 @@ class Generator(nn.Module):
     channel_multiplier: int = 2
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
+    # w8a8 int8 serving path for the StyledConv stack (see
+    # models.stylegan2.Generator.quantized); WaveletToRGB stays full
+    # precision (1x1 conv to 12 wavelet bands on the image path).
+    quantized: bool = False
 
     @property
     def log_size(self) -> int:
@@ -156,7 +160,9 @@ class Generator(nn.Module):
         self.const_input = self.param(
             "input", nn.initializers.normal(stddev=1.0), (1, 4, 4, channels[4])
         )
-        self.conv1 = StyledConv(channels[4], 3, blur_kernel=self.blur_kernel)
+        self.conv1 = StyledConv(
+            channels[4], 3, blur_kernel=self.blur_kernel, quantized=self.quantized
+        )
         self.to_rgb1 = WaveletToRGB(upsample=False)
 
         convs = []
@@ -164,9 +170,22 @@ class Generator(nn.Module):
         for res_log in range(3, self.log_size + 1):
             out_channel = channels[2**res_log]
             convs.append(
-                StyledConv(out_channel, 3, upsample=True, blur_kernel=self.blur_kernel)
+                StyledConv(
+                    out_channel,
+                    3,
+                    upsample=True,
+                    blur_kernel=self.blur_kernel,
+                    quantized=self.quantized,
+                )
             )
-            convs.append(StyledConv(out_channel, 3, blur_kernel=self.blur_kernel))
+            convs.append(
+                StyledConv(
+                    out_channel,
+                    3,
+                    blur_kernel=self.blur_kernel,
+                    quantized=self.quantized,
+                )
+            )
             to_rgbs.append(WaveletToRGB())
         self.convs = convs
         self.to_rgbs = to_rgbs

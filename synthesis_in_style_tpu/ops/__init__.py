@@ -6,6 +6,12 @@ from synthesis_in_style_tpu.ops.upfirdn2d import (
     blur_2d,
 )
 from synthesis_in_style_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
+from synthesis_in_style_tpu.ops.quant import (
+    conv2d_w8a8,
+    int8_conv,
+    quantize_per_out_channel,
+    quantize_per_sample,
+)
 
 __all__ = [
     "upfirdn2d",
@@ -15,4 +21,8 @@ __all__ = [
     "blur_2d",
     "fused_leaky_relu",
     "scaled_leaky_relu",
+    "conv2d_w8a8",
+    "int8_conv",
+    "quantize_per_out_channel",
+    "quantize_per_sample",
 ]

@@ -93,8 +93,11 @@ def test_generator_converter_roundtrip():
 import pytest
 
 
-@pytest.mark.parametrize("extra_args", [[], ["--device-contours"]],
-                         ids=["host-contours", "device-contours"])
+@pytest.mark.parametrize(
+    "extra_args",
+    [[], ["--device-contours"], ["--quantize"]],
+    ids=["host-contours", "device-contours", "quantized"],
+)
 def test_full_synthesis_pipeline(tmp_path, extra_args):
     from synthesis_in_style_tpu.cli import (
         create_dataset_for_segmentation as cds,
