@@ -38,8 +38,11 @@ SIZE = 256
 DTYPE = jnp.bfloat16
 
 
-def main(quantized: bool = False) -> None:
-    from synthesis_in_style_tpu.models.stylegan2 import Generator
+def main(quantized: bool = False, family: str = "stylegan2") -> None:
+    if family == "swagan":
+        from synthesis_in_style_tpu.models.swagan import Generator
+    else:
+        from synthesis_in_style_tpu.models.stylegan2 import Generator
 
     gen = Generator(size=SIZE, style_dim=512, n_mlp=8, quantized=quantized)
     z0 = jnp.zeros((BATCH, 512))
@@ -72,7 +75,7 @@ def main(quantized: bool = False) -> None:
         assert val == val, "NaN accumulator"
         best = max(best, BATCH * N_ITERS / dt)
 
-    metric = "stylegan2_synth_images_per_sec_256px"
+    metric = f"{family}_synth_images_per_sec_256px"
     if quantized:
         metric += "_w8a8"
     print(
@@ -90,4 +93,7 @@ def main(quantized: bool = False) -> None:
 if __name__ == "__main__":
     import sys
 
-    main(quantized="--quantized" in sys.argv)
+    main(
+        quantized="--quantized" in sys.argv,
+        family="swagan" if "--swagan" in sys.argv else "stylegan2",
+    )

@@ -161,6 +161,28 @@ def test_quantized_generator_faithful(family):
         assert c > 0.99, (k, c)
 
 
+def test_quantized_cluster_assignment_agreement():
+    """The downstream consumer of the quantized generator is the
+    label-synthesis pipeline, which k-means-assigns every pixel of the
+    captured activations. Fit catalogs on the full-precision activations,
+    assign both paths: the per-pixel cluster labels must agree almost
+    everywhere (disagreements can only sit on cluster boundaries)."""
+    from synthesis_in_style_tpu.models.stylegan2 import Generator
+    from synthesis_in_style_tpu.segmentation.factor_catalog import FactorCatalog
+
+    _, acts_f = _init_and_run(Generator, quantized=False)
+    _, acts_q = _init_and_run(Generator, quantized=True)
+
+    # mid/fine layers (the class-determination + finegrained keys in the
+    # production configs); k=6 like the on-chip capstone run
+    for layer in [4, 6]:
+        catalog = FactorCatalog(k=6, seed=0)
+        labels_f = np.asarray(catalog.fit_predict(acts_f[layer]))
+        labels_q = np.asarray(catalog.predict(acts_q[layer]))
+        agreement = (labels_f == labels_q).mean()
+        assert agreement > 0.99, (layer, agreement)
+
+
 def test_quantized_generator_parameters_identical():
     """quantized=True is a pure serving-mode reinterpretation — it must not
     change the parameter tree (same checkpoint loads in both modes)."""
