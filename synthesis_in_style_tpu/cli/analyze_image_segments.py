@@ -186,6 +186,12 @@ def main(args: argparse.Namespace) -> None:
             args.fused_page_inference
             or bool(model_config.get("fused_page_inference", False))
         ),
+        quantized=(
+            args.quantize or bool(model_config.get("quantize", False))
+        ),
+        serving_dtype=(
+            args.serving_dtype or model_config.get("serving_dtype")
+        ),
     )
     class_to_color_map = segmenter.class_to_color_map
     class_names = list(class_to_color_map.keys())
@@ -402,6 +408,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "inference; evaluation only, ignored with -vis): "
                         "group N same-tiling pages into one fused dispatch "
                         "with device-argmaxed uint8 class output.")
+    parser.add_argument("--quantize", action="store_true", default=False,
+                        help="Static w8a8 int8 serving for the patch "
+                        "forward (DocUFCN only): scales calibrated on the "
+                        "first page, int8 tensors between layers — see "
+                        "models/doc_ufcn_quant.py. Also enabled by "
+                        "'quantize: true' in the config file.")
+    parser.add_argument("--serving-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Compute dtype for the patch forward "
+                        "(default float32; bfloat16 is ~13%% faster on "
+                        "v5e at 99.8%% argmax agreement). Also settable "
+                        "via 'serving_dtype' in the config file. Mutually "
+                        "exclusive with --quantize.")
     return parser
 
 

@@ -71,6 +71,7 @@ def int8_conv(
     stride: int = 1,
     padding=0,
     lhs_dilation: Optional[Tuple[int, int]] = None,
+    rhs_dilation: Optional[Tuple[int, int]] = None,
 ) -> Array:
     """int8 x int8 -> int32 NHWC conv (zero pad / zero insertion are exact
     in the symmetric scheme since the zero point is 0)."""
@@ -82,6 +83,7 @@ def int8_conv(
         window_strides=(stride, stride),
         padding=padding,
         lhs_dilation=lhs_dilation,
+        rhs_dilation=rhs_dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -103,6 +105,51 @@ def conv2d_w8a8(
     out = int8_conv(xq, wq, stride=stride, padding=padding, lhs_dilation=lhs_dilation)
     scale = sx[:, None, None, None] * sw[None, None, None, :]
     return (out.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Static post-training quantization (PTQ) helpers — int8 tensors FLOW between
+# layers instead of being re-quantized per op. For memory-bound serving
+# models (DocUFCN runs at ~91% of the HBM roofline, MEASUREMENTS.md) the win
+# is bandwidth, not MXU rate: with static output scales the requantize step
+# is a pure elementwise epilogue XLA fuses into the producing conv, so only
+# int8 ever crosses HBM between layers — half the bf16 traffic. Dynamic
+# quantization cannot do this: its per-sample abs-max is a reduction over
+# the producer's output, forcing an extra full read+write pass, which on a
+# bandwidth-bound model costs more than the int8 read saves.
+# ---------------------------------------------------------------------------
+
+
+def scale_from_amax(amax: Array, eps: float = 1e-12) -> Array:
+    """Calibrated abs-max -> symmetric int8 scale (zero-safe)."""
+    return jnp.maximum(jnp.asarray(amax, jnp.float32), eps) / _QMAX
+
+
+def quantize_weight_folded(
+    w: Array, s_in: Array, eps: float = 1e-12
+) -> Tuple[Array, Array]:
+    """Fold per-input-channel activation scales into the weight, then
+    quantize per output channel.
+
+    With ``x_float ~= x_q * s_in[c]`` (static per-channel scales), folding
+    ``s_in`` into the float weight BEFORE quantization makes
+    ``conv(x_q, w_q) * s_w`` approximate ``conv(x_float, w)`` exactly as
+    well as unfolded quantization — at zero runtime cost, and it lets
+    concatenated inputs with different scales (decoder skip-concats) feed
+    ONE int8 conv instead of per-segment partial convs.
+
+    ``w`` is HWIO; ``s_in`` is (I,) or scalar. Returns ``(w_q int8,
+    s_w f32 (O,))``.
+    """
+    wf = w.astype(jnp.float32) * jnp.reshape(s_in, (1, 1, -1, 1))
+    return quantize_per_out_channel(wf, eps)
+
+
+def requantize(y: Array, s_out: Array) -> Array:
+    """f32/bf16 activation -> int8 with a static (per-channel or scalar)
+    output scale. Pure elementwise — fuses into the producer's epilogue."""
+    q = jnp.round(y.astype(jnp.float32) / s_out)
+    return jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
 
 
 def _parity_compose(ee: Array, eo: Array, oe: Array, oo: Array) -> Array:

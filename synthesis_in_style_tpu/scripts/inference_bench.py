@@ -103,6 +103,14 @@ def main() -> None:
                         help="Multi-chip serving: shard the page axis of "
                         "segment_images over an N-device ('data',) mesh "
                         "(requires --pages-per-batch > 1).")
+    parser.add_argument("--quantized", action="store_true", default=False,
+                        help="Static w8a8 int8 patch forward (DocUFCN "
+                        "only), calibrated on the first page — "
+                        "models/doc_ufcn_quant.py.")
+    parser.add_argument("--serving-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Compute dtype for the patch forward "
+                        "(default float32).")
     args = parser.parse_args()
 
     import jax
@@ -130,6 +138,8 @@ def main() -> None:
         print_progress=False,
         fused_page_inference=args.fused or args.pages_per_batch > 1,
         mesh=mesh,
+        quantized=args.quantized,
+        serving_dtype=args.serving_dtype,
     )
     segmenter.set_hyperparams(
         {
