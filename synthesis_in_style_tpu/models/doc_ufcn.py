@@ -40,6 +40,162 @@ Array = jax.Array
 ENCODER_DILATIONS = (1, 2, 4, 8, 16)
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth stem (opt-in, exact).
+#
+# The encoder's first block runs five 3x3 convs at full resolution with only
+# `feature_sizes[0]` (32) channels. On TPU that is the worst possible shape:
+# the (8,128) lane tiling pads 32-channel buffers 4x in HBM, and the MXU
+# computes a 32->32 conv at 1/16 utilization — measured 57% of the whole
+# eval forward (MEASUREMENTS.md "DocUFCN space-to-depth stem"). Packing the
+# 2x2 pixel parity into channels ((B,H,W,C) -> (B,H/2,W/2,4C)) and running
+# each conv with an equivalent dense "block kernel" is EXACT:
+#
+# * even dilation d: parity is preserved; taps sit at block offsets
+#   {-d/2, 0, d/2} on the same parity plane (a kernel_dilation=d/2 conv);
+# * d=1: taps mix parities but stay within block offsets {-1, 0, 1};
+# * in both cases zero block padding reproduces the original one-pixel
+#   zero padding exactly (no tap reaches the extra padded row);
+# * the 2x2/stride-2 maxpool after the block becomes a channelwise max
+#   over the 4 parity groups — no spatial pool at all.
+#
+# The dense block kernel costs 4x the FLOPs (its parity structure is
+# mostly zeros) but measured 1.96x FASTER on v5e because the 128-channel
+# operands use full lanes (a feature_group_count=4 formulation with 1x
+# FLOPs measured 0.96x — grouped convs don't help on TPU). The transform
+# consumes the UNCHANGED parameter tree (kernel construction is a cheap
+# traced scatter, differentiable, so training is exact too); BatchNorm
+# reduces over the parity groups so batch statistics stay per original
+# channel. Only the dropout mask stream differs (iid either way).
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth(x: Array) -> Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel index (2*a + b)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: Array, c: int) -> Array:
+    """Inverse of `space_to_depth`."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def _s2d_block_kernel(w: Array, dilation: int) -> tuple:
+    """Exact block-space kernel for a 3x3 same-padded conv with `dilation`.
+
+    `w` is (3, 3, Ci, Co) HWIO; returns ((3, 3, 4Ci, 4Co), block_dilation)
+    for a conv on the space-to-depth tensor with padding = block_dilation.
+    Traced jnp ops (36 static scatter-adds over zeros) — differentiable,
+    so the same path serves training.
+    """
+    kh, kw, ci, co = w.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    step = max(dilation // 2, 1)
+    K = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for ti, dy in enumerate((-dilation, 0, dilation)):
+                for tj, dx in enumerate((-dilation, 0, dilation)):
+                    ry, rx = a + dy, b + dx
+                    by, pa = ry // 2, ry % 2
+                    bx, pb = rx // 2, rx % 2
+                    K = K.at[
+                        by // step + 1,
+                        bx // step + 1,
+                        (2 * pa + pb) * ci:(2 * pa + pb + 1) * ci,
+                        (2 * a + b) * co:(2 * a + b + 1) * co,
+                    ].add(w[ti, tj])
+    return K, step
+
+
+class _S2DConv(nn.Module):
+    """3x3 same-padded dilated conv applied in space-to-depth layout.
+
+    Declares `kernel`/`bias` with the exact shapes and initializers of the
+    `nn.Conv` it replaces, so the parameter tree (and every checkpoint /
+    torch converter) is identical to the standard path.
+    """
+
+    features: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, xq: Array) -> Array:
+        ci = xq.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, ci, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        K, step = _s2d_block_kernel(kernel.astype(xq.dtype), self.dilation)
+        out = jax.lax.conv_general_dilated(
+            xq,
+            K,
+            window_strides=(1, 1),
+            padding=((step, step), (step, step)),
+            rhs_dilation=(step, step),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + jnp.tile(bias, 4).astype(out.dtype)
+
+
+class _ParityBatchNorm(nn.Module):
+    """BatchNorm over space-to-depth tensors with statistics per ORIGINAL
+    channel (reduces over batch, space, and the 4 parity groups) — exactly
+    `nn.BatchNorm` of the unpacked tensor. Same param/stat names and
+    shapes as `nn.BatchNorm` (momentum 0.9, eps 1e-5)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xq: Array, use_running_average: bool) -> Array:
+        c = xq.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        b, h, w, _ = xq.shape
+        xg = xq.reshape(b, h, w, 4, c)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # stats in (at least) f32, like flax's BatchNorm promotion
+            xf = xg.astype(jnp.promote_types(jnp.float32, xg.dtype))
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = (xg - mean.astype(xg.dtype)) * inv.astype(xg.dtype) + bias.astype(
+            xg.dtype
+        )
+        return out.reshape(b, h, w, 4 * c)
+
+
+def parity_max_pool(xq: Array) -> Array:
+    """2x2/stride-2 maxpool of the unpacked tensor, computed in s2d layout:
+    channelwise max over the 4 parity groups. Returns standard layout
+    (B, H/2, W/2, C)."""
+    b, h, w, c4 = xq.shape
+    return jnp.max(xq.reshape(b, h, w, 4, c4 // 4), axis=3)
+
+
 class ConvBNActDrop(nn.Module):
     """conv → BatchNorm → ReLU → Dropout (reference build_conv_layer,
     doc_ufcn.py:44-51)."""
@@ -50,9 +206,20 @@ class ConvBNActDrop(nn.Module):
     dilation: int = 1
     dropout: float = 0.4
     transpose: bool = False
+    # apply the conv in space-to-depth layout (input AND output packed
+    # (B, H/2, W/2, 4C)); exact, same parameter tree — see module header
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.s2d:
+            assert not self.transpose and self.kernel_size == 3 and self.stride == 1
+            x = _S2DConv(self.features, dilation=self.dilation, name="conv")(x)
+            x = _ParityBatchNorm(name="bn")(x, use_running_average=not train)
+            x = nn.relu(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            return x
         if self.transpose:
             x = nn.ConvTranspose(
                 self.features,
@@ -84,13 +251,14 @@ class EncoderBlock(nn.Module):
 
     features: int
     dropout: float = 0.4
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         for i, dilation in enumerate(ENCODER_DILATIONS):
             x = ConvBNActDrop(
                 self.features, dilation=dilation, dropout=self.dropout,
-                name=f"conv_{i}",
+                s2d=self.s2d, name=f"conv_{i}",
             )(x, train=train)
         return x
 
@@ -153,6 +321,13 @@ class DocUFCN(nn.Module):
     # (measured 0.81x, 30.2 vs 25.5 GB accessed —
     # scripts/docufcn_roofline.py).
     remat: bool = False
+    # Run the first N encoder blocks in space-to-depth layout (exact, same
+    # parameter tree; each block's 2x2 maxpool folds into a channelwise
+    # parity max). `True` == 1 (block 0 only, the measured sweet spot:
+    # train step 175.7 -> 257.1 samples/s (1.46x), eval forward 1.25x at
+    # 256px/b8 — see the "Space-to-depth stem" header above and
+    # MEASUREMENTS.md). Opt-in via config key `s2d_stem`.
+    s2d_stem: int = 0
 
     def segmenter_config(
         self,
@@ -175,16 +350,33 @@ class DocUFCN(nn.Module):
             if self.remat
             else EncoderBlock
         )
+        n_s2d = int(self.s2d_stem)
         skips = []
-        h = encoder_cls(
-            self.feature_sizes[0], dropout=self.encoder_dropout, name="encoder_0"
-        )(x, train)
-        for i, features in enumerate(self.feature_sizes[1:], start=1):
-            skips.append(h)
-            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = x
+        packed = False  # is h currently in space-to-depth layout?
+        for i, features in enumerate(self.feature_sizes):
+            if i > 0:
+                prev_feat = self.feature_sizes[i - 1]
+                # skip connection unpacks once; the pool of a packed block
+                # needs no spatial op at all (channelwise parity max)
+                skips.append(depth_to_space(h, prev_feat) if packed else h)
+                h = (
+                    parity_max_pool(h)
+                    if packed
+                    else nn.max_pool(h, (2, 2), strides=(2, 2))
+                )
+                packed = False
+            if i < n_s2d:
+                h = space_to_depth(h)
+                packed = True
             h = encoder_cls(
-                features, dropout=self.encoder_dropout, name=f"encoder_{i}"
+                features,
+                dropout=self.encoder_dropout,
+                s2d=packed,
+                name=f"encoder_{i}",
             )(h, train)
+        if packed:  # n_s2d covers every block incl. the bottom one
+            h = depth_to_space(h, self.feature_sizes[-1])
 
         decoder_cls = (
             PixelShuffleDecoderBlock if self.pixel_shuffle else DecoderBlock

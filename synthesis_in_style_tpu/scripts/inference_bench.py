@@ -31,7 +31,9 @@ import numpy as np
 from PIL import Image
 
 
-def _make_synthetic_checkpoint(root: Path, patch_size: int) -> tuple:
+def _make_synthetic_checkpoint(
+    root: Path, patch_size: int, s2d_stem: bool = False
+) -> tuple:
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +56,7 @@ def _make_synthetic_checkpoint(root: Path, patch_size: int) -> tuple:
         "image_size": patch_size,
         "batch_size": 8,
         "class_to_color_map": str(color_path),
+        "s2d_stem": s2d_stem,
     }
     (run_dir / "config").mkdir(parents=True, exist_ok=True)
     (run_dir / "config" / "config.json").write_text(json.dumps(config))
@@ -111,6 +114,10 @@ def main() -> None:
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for the patch forward "
                         "(default float32).")
+    parser.add_argument("--s2d-stem", action="store_true", default=False,
+                        help="DocUFCN space-to-depth stem (exact "
+                        "re-lowering of encoder block 0; config key "
+                        "s2d_stem) — models/doc_ufcn.py.")
     args = parser.parse_args()
 
     import jax
@@ -123,9 +130,14 @@ def main() -> None:
     tmp = None
     if args.checkpoint is None:
         tmp = tempfile.TemporaryDirectory(prefix="infbench_")
-        ckpt, color_map = _make_synthetic_checkpoint(Path(tmp.name), 256)
+        ckpt, color_map = _make_synthetic_checkpoint(
+            Path(tmp.name), 256, s2d_stem=args.s2d_stem
+        )
     else:
         ckpt, color_map = args.checkpoint, args.color_map
+        if args.s2d_stem:
+            print("--s2d-stem with an explicit checkpoint: set "
+                  "'s2d_stem: true' in the run config instead", flush=True)
 
     mesh = None
     if args.mesh > 1:

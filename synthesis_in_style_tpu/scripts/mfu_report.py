@@ -92,10 +92,11 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
         "segmented": jnp.zeros((batch, size, size), jnp.int32),
     }
 
-    if which == "docufcn":
+    if which in ("docufcn", "docufcn-s2d"):
         from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
 
-        model = DocUFCN(num_classes=classes)
+        s2d = which == "docufcn-s2d"
+        model = DocUFCN(num_classes=classes, s2d_stem=int(s2d))
         state = create_seg_train_state(model, jax.random.PRNGKey(0), size, tx)
         # production config (configs/segmenter/stylegan2_doc_ufcn_segmenter
         # .yaml): bf16 compute + hardware-RNG dropout stream
@@ -103,7 +104,8 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
             model, tx, donate=False, compute_dtype="bfloat16",
             dropout_rng_impl="rbg",
         )
-        name = f"seg/docufcn@{size}px/b{batch}/bf16+rbg"
+        tag = "+s2d" if s2d else ""
+        name = f"seg/docufcn@{size}px/b{batch}/bf16+rbg{tag}"
     elif which == "emanet":
         from synthesis_in_style_tpu.models.ema_net import EMANet
 
@@ -238,7 +240,7 @@ def main() -> None:
     parser.add_argument(
         "--workloads",
         default="gan,docufcn,emanet,transunet",
-        help="comma-separated: gan, docufcn, emanet, transunet",
+        help="comma-separated: gan, docufcn, docufcn-s2d, emanet, transunet",
     )
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()

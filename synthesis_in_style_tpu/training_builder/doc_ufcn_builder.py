@@ -25,6 +25,12 @@ class DocUFCNTrainBuilder(BaseTrainBuilder):
             # (scripts/docufcn_roofline.py: recompute re-writes activations,
             # raising HBM traffic), so off by default
             remat=bool(self.config.get("remat", False)),
+            # space-to-depth stem (config key `s2d_stem`): exact
+            # re-lowering of encoder block 0 for the TPU 128-lane layout,
+            # same parameter tree / checkpoints (tests/test_s2d_stem.py);
+            # measured speedups in MEASUREMENTS.md "space-to-depth stem"
+            # int: how many leading encoder blocks (true == 1)
+            s2d_stem=int(self.config.get("s2d_stem", 0)),
         )
 
     def _build_optimizer(self) -> optax.GradientTransformation:

@@ -1,0 +1,173 @@
+"""Space-to-depth stem (DocUFCN(s2d_stem=True)) == the standard path.
+
+The s2d stem is an exact re-lowering of encoder block 0 for the TPU's
+128-lane layout (models/doc_ufcn.py "Space-to-depth stem" header): same
+parameter tree, same outputs, same gradients, same BatchNorm statistics.
+These tests pin all four on CPU in f32; the 1.96x block / whole-forward
+speedups are recorded in MEASUREMENTS.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthesis_in_style_tpu.models.doc_ufcn import (
+    DocUFCN,
+    _s2d_block_kernel,
+    depth_to_space,
+    parity_max_pool,
+    space_to_depth,
+)
+
+
+def _models(pixel_shuffle=False, dropout=0.0, n_s2d=1):
+    kw = dict(
+        num_classes=3,
+        feature_sizes=(8, 16, 24, 32),
+        encoder_dropout=dropout,
+        decoder_dropout=dropout,
+        pixel_shuffle=pixel_shuffle,
+    )
+    return DocUFCN(**kw), DocUFCN(s2d_stem=n_s2d, **kw)
+
+
+def _init(model, x, seed=0):
+    return model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(1)},
+        x,
+        train=False,
+    )
+
+
+def test_s2d_roundtrip_and_pool():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 10, 5).astype(np.float32))
+    xq = space_to_depth(x)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(xq, 5)), np.asarray(x))
+    from flax import linen as nn
+
+    np.testing.assert_array_equal(
+        np.asarray(parity_max_pool(xq)),
+        np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))),
+    )
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4, 8, 16])
+def test_block_kernel_exact(dilation):
+    """conv3x3(d) on x == block-kernel conv on s2d(x), any channel count."""
+    rng = np.random.RandomState(dilation)
+    x = jnp.asarray(rng.randn(2, 64, 64, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((dilation, dilation),) * 2,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    K, step = _s2d_block_kernel(w, dilation)
+    out = jax.lax.conv_general_dilated(
+        space_to_depth(x), K, (1, 1), ((step, step),) * 2,
+        rhs_dilation=(step, step),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(out, 7)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize(
+    "pixel_shuffle,n_s2d",
+    [(False, 1), (True, 1), (False, 2), (False, 4)],
+)
+def test_same_params_same_eval_forward(pixel_shuffle, n_s2d):
+    """Identical parameter tree; identical eval logits (any number of
+    packed leading blocks, incl. all four)."""
+    std, s2d = _models(pixel_shuffle, n_s2d=n_s2d)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    variables = _init(std, x)
+    v2 = _init(s2d, x)
+    chex_tree = jax.tree_util.tree_structure
+    assert chex_tree(variables) == chex_tree(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    ref = np.asarray(std.apply(variables, x, train=False))
+    out = np.asarray(s2d.apply(variables, x, train=False))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_same_train_step_stats_and_grads():
+    """Train-mode apply (dropout 0): same loss gradient and the SAME
+    updated BatchNorm running statistics (parity reduction is per original
+    channel, not per parity plane).
+
+    Runs in float64: the two lowerings are MATHEMATICALLY identical, so at
+    f64 the grads must agree to ~1e-9 (in f32, summation-order noise on a
+    random-init net's near-zero cancellation sums — conv biases that BN
+    subtracts away, BN scale grads — swamps any per-element tolerance and
+    the comparison proves nothing)."""
+    with jax.enable_x64():
+        std, s2d = _models(dropout=0.0)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)))
+        y = jnp.asarray(rng.randint(0, 3, size=(2, 64, 64)))
+        variables = _init(std, x)
+        variables = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.float64)
+            if jnp.issubdtype(t.dtype, jnp.floating)
+            else t,
+            variables,
+        )
+        params, stats = variables["params"], variables["batch_stats"]
+
+        def loss_fn(model):
+            def f(p):
+                logits, upd = model.apply(
+                    {"params": p, "batch_stats": stats},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(9)},
+                )
+                lp = jax.nn.log_softmax(logits)
+                nll = -jnp.take_along_axis(lp, y[..., None], axis=-1)
+                return jnp.mean(nll), upd["batch_stats"]
+
+            return jax.value_and_grad(f, has_aux=True)(params)
+
+        (l1, bs1), g1 = loss_fn(std)
+        (l2, bs2), g2 = loss_fn(s2d)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-12)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0],
+        ):
+            assert p1 == p2
+            a, b = np.asarray(a), np.asarray(b)
+            err = float(np.abs(a - b).max())
+            assert err <= 1e-9, (p1, err)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(bs1)[0],
+            jax.tree_util.tree_flatten_with_path(bs2)[0],
+        ):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12,
+            )
+
+
+def test_dropout_path_runs():
+    """With dropout on, the s2d path still runs in train mode (mask stream
+    differs from the standard path by design — iid either way)."""
+    _, s2d = _models(dropout=0.4)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    variables = _init(s2d, x)
+    out, _ = s2d.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    assert np.isfinite(np.asarray(out)).all()
