@@ -196,6 +196,47 @@ def parity_max_pool(xq: Array) -> Array:
     return jnp.max(xq.reshape(b, h, w, 4, c4 // 4), axis=3)
 
 
+def parity_concat(a: Array, b: Array) -> Array:
+    """Channel concat of two s2d tensors IN s2d layout: equals
+    `space_to_depth(concat(unpack(a), unpack(b)))` — the parity groups of
+    the two operands are interleaved group-by-group, not appended."""
+    bsz, h, w, ca4 = a.shape
+    ca, cb = ca4 // 4, b.shape[-1] // 4
+    a = a.reshape(bsz, h, w, 4, ca)
+    b = b.reshape(bsz, h, w, 4, cb)
+    return jnp.concatenate([a, b], axis=-1).reshape(bsz, h, w, 4 * (ca + cb))
+
+
+class _S2DConvTranspose2x2(nn.Module):
+    """2x2/stride-2 VALID `nn.ConvTranspose` producing s2d-layout output.
+
+    A 2x2/s2 transpose conv tiles the output exactly: output parity (a, b)
+    is a plain matmul of the (unchanged-resolution) input with the FLIPPED
+    kernel tap `w[1-a, 1-b]` (flax `ConvTranspose` with the default
+    `transpose_kernel=False` flips spatially — pinned numerically in
+    tests/test_s2d_stem.py). So the packed output is ONE 1x1 conv
+    (B, H, W, Ci) -> (B, H, W, 4*Co): full 128-lane occupancy instead of a
+    4x-padded (B, 2H, 2W, Co) buffer. Declares `kernel`/`bias` with the
+    exact shapes and initializers of the `nn.ConvTranspose` it replaces."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, ci, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        k = kernel.astype(x.dtype)
+        # packed group (2a+b) <- w[1-a, 1-b]
+        K = jnp.concatenate([k[1, 1], k[1, 0], k[0, 1], k[0, 0]], axis=-1)
+        out = jnp.einsum("bhwc,cd->bhwd", x, K)
+        return out + jnp.tile(bias, 4).astype(out.dtype)
+
+
 class ConvBNActDrop(nn.Module):
     """conv → BatchNorm → ReLU → Dropout (reference build_conv_layer,
     doc_ufcn.py:44-51)."""
@@ -209,9 +250,20 @@ class ConvBNActDrop(nn.Module):
     # apply the conv in space-to-depth layout (input AND output packed
     # (B, H/2, W/2, 4C)); exact, same parameter tree — see module header
     s2d: bool = False
+    # 2x2/s2 transpose upsample with UNPACKED input and PACKED output
+    # (same resolution as the input, 4x channels) — see _S2DConvTranspose2x2
+    s2d_up: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.s2d_up:
+            assert self.transpose and self.kernel_size == 2 and self.stride == 2
+            x = _S2DConvTranspose2x2(self.features, name="conv")(x)
+            x = _ParityBatchNorm(name="bn")(x, use_running_average=not train)
+            x = nn.relu(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            return x
         if self.s2d:
             assert not self.transpose and self.kernel_size == 3 and self.stride == 1
             x = _S2DConv(self.features, dilation=self.dilation, name="conv")(x)
@@ -269,6 +321,9 @@ class DecoderBlock(nn.Module):
 
     features: int
     dropout: float = 0.4
+    # emit the upsampled tensor in s2d layout (exact; see "Space-to-depth
+    # decoder tail" in the module header)
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -277,7 +332,7 @@ class DecoderBlock(nn.Module):
         )
         x = ConvBNActDrop(
             self.features, kernel_size=2, stride=2, dropout=self.dropout,
-            transpose=True, name="upsample",
+            transpose=True, s2d_up=self.s2d_out, name="upsample",
         )(x, train=train)
         return x
 
@@ -288,12 +343,19 @@ class PixelShuffleDecoderBlock(nn.Module):
 
     features: int
     dropout: float = 0.4
+    # emit the pre-shuffle tensor as-is: the conv's 4C output IS the s2d
+    # layout of the shuffled result (same (2a+b)C+c channel convention as
+    # `space_to_depth`), so the packed output is BITWISE the standard one —
+    # BN/dropout included — minus the unshuffle permutation
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = ConvBNActDrop(
             self.features * 4, dropout=self.dropout, name="conv"
         )(x, train=train)
+        if self.s2d_out:
+            return x
         b, h, w, c = x.shape
         x = x.reshape(b, h, w, 2, 2, c // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5)
@@ -328,6 +390,17 @@ class DocUFCN(nn.Module):
     # 256px/b8 — see the "Space-to-depth stem" header above and
     # MEASUREMENTS.md). Opt-in via config key `s2d_stem`.
     s2d_stem: int = 0
+    # Space-to-depth decoder TAIL (exact, same parameter tree): keep the
+    # last decoder block's upsample output, the encoder-0 skip concat, and
+    # the 3x3 classifier in s2d layout, unpacking only the final logits.
+    # The tail's full-resolution tensors (32/64/num_classes channels at
+    # 256²) are the decoder-side lane-padding hotspots, the mirror image
+    # of the stem's. The transpose upsample becomes ONE 1x1 conv to 4C
+    # packed channels (_S2DConvTranspose2x2); the skip stays packed (under
+    # `s2d_stem>=1` it already is — its depth_to_space disappears); the
+    # classifier runs as a d=1 block kernel. Opt-in via config key
+    # `s2d_tail`.
+    s2d_tail: bool = False
 
     def segmenter_config(
         self,
@@ -351,6 +424,8 @@ class DocUFCN(nn.Module):
             else EncoderBlock
         )
         n_s2d = int(self.s2d_stem)
+        # the packed tail needs a decoder block to feed it
+        s2d_tail = bool(self.s2d_tail) and len(self.feature_sizes) > 1
         skips = []
         h = x
         packed = False  # is h currently in space-to-depth layout?
@@ -358,8 +433,13 @@ class DocUFCN(nn.Module):
             if i > 0:
                 prev_feat = self.feature_sizes[i - 1]
                 # skip connection unpacks once; the pool of a packed block
-                # needs no spatial op at all (channelwise parity max)
-                skips.append(depth_to_space(h, prev_feat) if packed else h)
+                # needs no spatial op at all (channelwise parity max).
+                # With the s2d tail, skip 0 (consumed by the packed last
+                # decoder block) stays/becomes packed instead.
+                if i == 1 and s2d_tail:
+                    skips.append(h if packed else space_to_depth(h))
+                else:
+                    skips.append(depth_to_space(h, prev_feat) if packed else h)
                 h = (
                     parity_max_pool(h)
                     if packed
@@ -384,14 +464,22 @@ class DocUFCN(nn.Module):
         if self.remat:
             decoder_cls = nn.remat(decoder_cls, static_argnums=(2,))
         rev_features = list(reversed(self.feature_sizes))
+        last = len(rev_features) - 2
         for i, (features, skip) in enumerate(
             zip(rev_features[1:], reversed(skips))
         ):
+            tail = s2d_tail and i == last
             h = decoder_cls(
-                features, dropout=self.decoder_dropout, name=f"decoder_{i}"
+                features, dropout=self.decoder_dropout, s2d_out=tail,
+                name=f"decoder_{i}",
             )(h, train)
-            h = jnp.concatenate([h, skip], axis=-1)
+            h = parity_concat(h, skip) if tail else jnp.concatenate(
+                [h, skip], axis=-1
+            )
 
+        if s2d_tail:
+            out = _S2DConv(self.num_classes, dilation=1, name="classifier")(h)
+            return depth_to_space(out, self.num_classes)
         return nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)], name="classifier"
         )(h)

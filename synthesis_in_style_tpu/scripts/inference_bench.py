@@ -32,7 +32,7 @@ from PIL import Image
 
 
 def _make_synthetic_checkpoint(
-    root: Path, patch_size: int, s2d_stem: bool = False
+    root: Path, patch_size: int, s2d_stem: bool = False, s2d_tail: bool = False
 ) -> tuple:
     import jax
     import jax.numpy as jnp
@@ -57,6 +57,7 @@ def _make_synthetic_checkpoint(
         "batch_size": 8,
         "class_to_color_map": str(color_path),
         "s2d_stem": s2d_stem,
+        "s2d_tail": s2d_tail,
     }
     (run_dir / "config").mkdir(parents=True, exist_ok=True)
     (run_dir / "config" / "config.json").write_text(json.dumps(config))
@@ -118,6 +119,9 @@ def main() -> None:
                         help="DocUFCN space-to-depth stem (exact "
                         "re-lowering of encoder block 0; config key "
                         "s2d_stem) — models/doc_ufcn.py.")
+    parser.add_argument("--s2d-tail", action="store_true", default=False,
+                        help="DocUFCN space-to-depth decoder tail (exact; "
+                        "config key s2d_tail) — models/doc_ufcn.py.")
     args = parser.parse_args()
 
     import jax
@@ -131,13 +135,13 @@ def main() -> None:
     if args.checkpoint is None:
         tmp = tempfile.TemporaryDirectory(prefix="infbench_")
         ckpt, color_map = _make_synthetic_checkpoint(
-            Path(tmp.name), 256, s2d_stem=args.s2d_stem
+            Path(tmp.name), 256, s2d_stem=args.s2d_stem, s2d_tail=args.s2d_tail
         )
     else:
         ckpt, color_map = args.checkpoint, args.color_map
-        if args.s2d_stem:
-            print("--s2d-stem with an explicit checkpoint: set "
-                  "'s2d_stem: true' in the run config instead", flush=True)
+        if args.s2d_stem or args.s2d_tail:
+            print("--s2d-stem/--s2d-tail with an explicit checkpoint: set "
+                  "'s2d_stem'/'s2d_tail' in the run config instead", flush=True)
 
     mesh = None
     if args.mesh > 1:

@@ -92,11 +92,14 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
         "segmented": jnp.zeros((batch, size, size), jnp.int32),
     }
 
-    if which in ("docufcn", "docufcn-s2d"):
+    if which in ("docufcn", "docufcn-s2d", "docufcn-s2dt"):
         from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
 
-        s2d = which == "docufcn-s2d"
-        model = DocUFCN(num_classes=classes, s2d_stem=int(s2d))
+        s2d = which in ("docufcn-s2d", "docufcn-s2dt")
+        tail = which == "docufcn-s2dt"
+        model = DocUFCN(
+            num_classes=classes, s2d_stem=int(s2d), s2d_tail=tail
+        )
         state = create_seg_train_state(model, jax.random.PRNGKey(0), size, tx)
         # production config (configs/segmenter/stylegan2_doc_ufcn_segmenter
         # .yaml): bf16 compute + hardware-RNG dropout stream
@@ -104,7 +107,7 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
             model, tx, donate=False, compute_dtype="bfloat16",
             dropout_rng_impl="rbg",
         )
-        tag = "+s2d" if s2d else ""
+        tag = ("+s2d+tail" if tail else "+s2d") if s2d else ""
         name = f"seg/docufcn@{size}px/b{batch}/bf16+rbg{tag}"
     elif which == "emanet":
         from synthesis_in_style_tpu.models.ema_net import EMANet
@@ -240,7 +243,7 @@ def main() -> None:
     parser.add_argument(
         "--workloads",
         default="gan,docufcn,emanet,transunet",
-        help="comma-separated: gan, docufcn, docufcn-s2d, emanet, transunet",
+        help="comma-separated: gan, docufcn, docufcn-s2d, docufcn-s2dt, emanet, transunet",
     )
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()

@@ -31,6 +31,10 @@ class DocUFCNTrainBuilder(BaseTrainBuilder):
             # measured speedups in MEASUREMENTS.md "space-to-depth stem"
             # int: how many leading encoder blocks (true == 1)
             s2d_stem=int(self.config.get("s2d_stem", 0)),
+            # space-to-depth decoder tail (config key `s2d_tail`): same
+            # exact-re-lowering treatment for the decoder-side hotspots —
+            # packed final upsample + skip concat + block-kernel classifier
+            s2d_tail=bool(self.config.get("s2d_tail", False)),
         )
 
     def _build_optimizer(self) -> optax.GradientTransformation:

@@ -21,7 +21,7 @@ from synthesis_in_style_tpu.models.doc_ufcn import (
 )
 
 
-def _models(pixel_shuffle=False, dropout=0.0, n_s2d=1):
+def _models(pixel_shuffle=False, dropout=0.0, n_s2d=1, tail=False):
     kw = dict(
         num_classes=3,
         feature_sizes=(8, 16, 24, 32),
@@ -29,7 +29,7 @@ def _models(pixel_shuffle=False, dropout=0.0, n_s2d=1):
         decoder_dropout=dropout,
         pixel_shuffle=pixel_shuffle,
     )
-    return DocUFCN(**kw), DocUFCN(s2d_stem=n_s2d, **kw)
+    return DocUFCN(**kw), DocUFCN(s2d_stem=n_s2d, s2d_tail=tail, **kw)
 
 
 def _init(model, x, seed=0):
@@ -76,14 +76,42 @@ def test_block_kernel_exact(dilation):
     )
 
 
+def test_s2d_transpose_conv_exact():
+    """_S2DConvTranspose2x2 == nn.ConvTranspose 2x2/s2 VALID (pins the
+    flipped-kernel orientation: packed group (2a+b) uses w[1-a, 1-b])."""
+    from flax import linen as nn
+
+    from synthesis_in_style_tpu.models.doc_ufcn import _S2DConvTranspose2x2
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    ref_m = nn.ConvTranspose(5, (2, 2), strides=(2, 2), padding="VALID")
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x))
+    out = _S2DConvTranspose2x2(5).apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(out, 5)), ref, rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize(
-    "pixel_shuffle,n_s2d",
-    [(False, 1), (True, 1), (False, 2), (False, 4)],
+    "pixel_shuffle,n_s2d,tail",
+    [
+        (False, 1, False),
+        (True, 1, False),
+        (False, 2, False),
+        (False, 4, False),
+        (False, 0, True),
+        (False, 1, True),
+        (True, 0, True),
+        (True, 1, True),
+    ],
 )
-def test_same_params_same_eval_forward(pixel_shuffle, n_s2d):
+def test_same_params_same_eval_forward(pixel_shuffle, n_s2d, tail):
     """Identical parameter tree; identical eval logits (any number of
-    packed leading blocks, incl. all four)."""
-    std, s2d = _models(pixel_shuffle, n_s2d=n_s2d)
+    packed leading blocks, incl. all four, with/without the packed
+    decoder tail)."""
+    std, s2d = _models(pixel_shuffle, n_s2d=n_s2d, tail=tail)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
     variables = _init(std, x)
@@ -99,7 +127,8 @@ def test_same_params_same_eval_forward(pixel_shuffle, n_s2d):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
-def test_same_train_step_stats_and_grads():
+@pytest.mark.parametrize("tail", [False, True])
+def test_same_train_step_stats_and_grads(tail):
     """Train-mode apply (dropout 0): same loss gradient and the SAME
     updated BatchNorm running statistics (parity reduction is per original
     channel, not per parity plane).
@@ -110,7 +139,7 @@ def test_same_train_step_stats_and_grads():
     subtracts away, BN scale grads — swamps any per-element tolerance and
     the comparison proves nothing)."""
     with jax.enable_x64():
-        std, s2d = _models(dropout=0.0)
+        std, s2d = _models(dropout=0.0, tail=tail)
         rng = np.random.RandomState(1)
         x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)))
         y = jnp.asarray(rng.randint(0, 3, size=(2, 64, 64)))
@@ -162,7 +191,7 @@ def test_same_train_step_stats_and_grads():
 def test_dropout_path_runs():
     """With dropout on, the s2d path still runs in train mode (mask stream
     differs from the standard path by design — iid either way)."""
-    _, s2d = _models(dropout=0.4)
+    _, s2d = _models(dropout=0.4, tail=True)
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
     variables = _init(s2d, x)
