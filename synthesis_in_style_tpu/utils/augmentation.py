@@ -183,6 +183,17 @@ class PairedAugmenter:
             if rng.uniform() < 0.5:
                 k = int(rng.choice([1, 3]))
                 pair = [np.rot90(arr, k).copy() for arr in pair]
+                if h != w:
+                    # imgaug Rot90 keep_size=True (the reference's default):
+                    # resize back so output shape always matches input shape
+                    pair = [
+                        cv2.resize(
+                            arr, (w, h),
+                            interpolation=cv2.INTER_NEAREST if i == 1
+                            else cv2.INTER_LINEAR,
+                        )
+                        for i, arr in enumerate(pair)
+                    ]
             else:
                 deg = rng.uniform(-self.rotate_deg, self.rotate_deg)
                 m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)

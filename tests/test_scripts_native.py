@@ -131,3 +131,50 @@ def test_latent_analysis_blueprint(tmp_path):
 
     x, y = empirical_cdf(np.array([1.0, 2.0, 3.0, 4.0]))
     np.testing.assert_allclose(y, [0.25, 0.5, 0.75, 1.0])
+
+
+# ---------------- offline augmentation CLI (ref utils/augment_dataset.py) ---
+
+def test_augment_dataset_cli(tmp_path):
+    from synthesis_in_style_tpu.scripts.augment_dataset import build_parser, main
+
+    dataset_dir = tmp_path / "data"
+    (dataset_dir / "sub").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    mask_palette = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 255]], np.uint8)
+    for name in ["a.png", "sub/b.png"]:
+        image = rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)
+        mask = mask_palette[rng.integers(0, 3, (64, 48))]
+        page = np.concatenate([image, mask], axis=1)
+        Image.fromarray(page).save(dataset_dir / name)
+
+    save_dir = tmp_path / "out"
+    preview_dir = tmp_path / "prev"
+    args = build_parser().parse_args(
+        [str(dataset_dir), "-n", "2", "--save-dir", str(save_dir),
+         "--preview-dir", str(preview_dir), "--workers", "2"]
+    )
+    main(args)
+
+    outs = sorted(p.relative_to(save_dir).as_posix() for p in save_dir.glob("**/*.png"))
+    assert outs == ["a_aug_1.png", "a_aug_2.png", "sub/b_aug_1.png", "sub/b_aug_2.png"]
+    for p in save_dir.glob("**/*.png"):
+        page = np.asarray(Image.open(p))
+        assert page.shape == (64, 96, 3)
+        # geometric ops warp the mask with nearest-neighbor: the augmented
+        # mask half may only contain original palette colors (or the black
+        # border fill)
+        mask_half = page[:, 48:].reshape(-1, 3)
+        allowed = {tuple(c) for c in mask_palette}
+        assert {tuple(c) for c in np.unique(mask_half, axis=0)} <= allowed
+    assert len(list(preview_dir.glob("*_preview.png"))) == 2
+
+    # per-page seeding makes reruns deterministic
+    save_dir2 = tmp_path / "out2"
+    args2 = build_parser().parse_args(
+        [str(dataset_dir), "-n", "2", "--save-dir", str(save_dir2), "--workers", "1"]
+    )
+    main(args2)
+    for p in save_dir.glob("**/*.png"):
+        q = save_dir2 / p.relative_to(save_dir)
+        assert np.array_equal(np.asarray(Image.open(p)), np.asarray(Image.open(q)))
