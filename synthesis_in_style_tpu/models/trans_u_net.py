@@ -245,8 +245,26 @@ class ResNetV2(nn.Module):
 # ---------------------------------------------------------------------------
 
 class Attention(nn.Module):
+    """Multi-head self-attention (reference vit_seg_modeling.py:53-89).
+
+    ``impl`` selects the lowering — the parameter tree and outputs are
+    identical either way:
+
+    * ``"xla"`` (default): materialized scores + softmax as batched matmuls.
+      Simple, runs on any backend, but writes the (B, heads, N, N)
+      attention matrix to HBM — at 512px (N=1024 tokens) that tensor is
+      the dominant HBM traffic of the whole train step.
+    * ``"flash"``: the tiled online-softmax Pallas TPU kernel
+      (jax.experimental.pallas.ops.tpu.flash_attention) — score tiles live
+      in VMEM and the N x N matrix never touches HBM; differentiable via
+      its bundled custom-VJP kernels. Requires a TPU backend, token count
+      a multiple of 128, and attention_dropout_rate == 0 (the kernel has
+      no prob-dropout; every shipped VIT_CONFIG uses 0.0).
+    """
+
     num_heads: int
     dropout_rate: float = 0.0
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -260,10 +278,38 @@ class Attention(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
-        context = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if self.impl == "flash":
+            n_tokens = x.shape[1]
+            if self.dropout_rate > 0.0:
+                raise ValueError(
+                    "attention_impl='flash' does not support "
+                    "attention_dropout_rate > 0 (probability dropout happens "
+                    "inside the fused kernel's softmax); use 'xla'."
+                )
+            if n_tokens % 128 != 0:
+                raise ValueError(
+                    f"attention_impl='flash' needs the token count to be a "
+                    f"multiple of 128, got {n_tokens} (image size must be a "
+                    f"multiple of 16*128**0.5 ≈ 192px for square grids); "
+                    f"use 'xla'."
+                )
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            context = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                sm_scale=1.0 / math.sqrt(head_dim),
+            ).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(
+                self.dropout_rate, deterministic=not train
+            )(probs)
+            context = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         context = context.reshape(x.shape[0], x.shape[1], hidden)
         out = nn.Dense(hidden, name="out")(context)
         return nn.Dropout(self.dropout_rate, deterministic=not train)(out)
@@ -292,14 +338,16 @@ class Block(nn.Module):
     mlp_dim: int
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         h = x
         x = nn.LayerNorm(epsilon=1e-6, name="attention_norm")(x)
-        x = Attention(self.num_heads, self.attention_dropout_rate, name="attn")(
-            x, train=train
-        )
+        x = Attention(
+            self.num_heads, self.attention_dropout_rate,
+            impl=self.attention_impl, name="attn",
+        )(x, train=train)
         x = x + h
         h = x
         x = nn.LayerNorm(epsilon=1e-6, name="ffn_norm")(x)
@@ -408,6 +456,7 @@ class VisionTransformer(nn.Module):
                 tconf["mlp_dim"],
                 tconf["dropout_rate"],
                 tconf["attention_dropout_rate"],
+                attention_impl=config.get("attention_impl", "xla"),
                 name=f"encoderblock_{i}",
             )(x, train=train)
         x = nn.LayerNorm(epsilon=1e-6, name="encoder_norm")(x)

@@ -121,16 +121,26 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
             model, tx, em_mom=0.9, donate=False, compute_dtype="bfloat16"
         )
         name = f"seg/emanet-r50@{size}px/b{batch}/bf16"
-    elif which == "transunet":
+    elif which.startswith("transunet"):
         from synthesis_in_style_tpu.models.trans_u_net import (
             VIT_CONFIGS,
             VisionTransformer,
         )
 
+        # transunet[512][-flash]: 512 = the reference's TransUNet workload
+        # size; -flash = Pallas flash-attention lowering (same params)
+        if "512" in which:
+            size = 512
+            batch_data = {
+                "images": jnp.zeros((batch, size, size, 3), jnp.float32),
+                "segmented": jnp.zeros((batch, size, size), jnp.int32),
+            }
+        impl = "flash" if which.endswith("-flash") else "xla"
         cfg = VIT_CONFIGS["R50-ViT-B_16"]()
         cfg["n_classes"] = classes
         cfg["n_skip"] = 3
         cfg["patches"]["grid"] = (size // 16, size // 16)
+        cfg["attention_impl"] = impl
         model = VisionTransformer(
             config=cfg, img_size=size, num_classes=classes
         )
@@ -139,7 +149,8 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
             model, tx, num_classes=classes, donate=False,
             compute_dtype="bfloat16",
         )
-        name = f"seg/transunet-r50vitb16@{size}px/b{batch}/bf16"
+        tag = "+flash" if impl == "flash" else ""
+        name = f"seg/transunet-r50vitb16@{size}px/b{batch}/bf16{tag}"
     else:
         raise ValueError(which)
     return {name: (step, (state, batch_data, rng))}
@@ -163,16 +174,27 @@ def phase_flops(out_path: Path, names) -> None:
     record = {}
     if out_path.exists():
         record = json.loads(out_path.read_text())
-    for name, (fn, args) in build_workloads(names).items():
-        lowered = fn.lower(*args)
-        analyses = lowered.cost_analysis()
-        if analyses is None:  # some backends only analyze post-compile
-            analyses = lowered.compile().cost_analysis()
-        # cost_analysis returns one dict (new jax) or a per-device list
-        ca = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
-        flops = float(ca["flops"])
-        record.setdefault(name, {})["flops"] = flops
-        print(f"{name}: {flops / 1e9:.1f} GFLOP/step")
+    for req in names:
+        # "-flash" workloads route attention through a Pallas kernel, which
+        # (a) cannot lower on the CPU backend this phase runs on and (b) is
+        # opaque to XLA's cost model anyway. The math is identical to the
+        # XLA lowering, so extract FLOPs from the XLA twin and record them
+        # under the flash workload's display name.
+        is_flash = req.endswith("-flash")
+        src = req[:-6] if is_flash else req
+        twin = build_workloads([src])
+        for name, (fn, args) in twin.items():
+            display = name + "+flash" if is_flash else None
+            lowered = fn.lower(*args)
+            analyses = lowered.cost_analysis()
+            if analyses is None:  # some backends only analyze post-compile
+                analyses = lowered.compile().cost_analysis()
+            # cost_analysis returns one dict (new jax) or a per-device list
+            ca = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+            flops = float(ca["flops"])
+            key = display or name
+            record.setdefault(key, {})["flops"] = flops
+            print(f"{key}: {flops / 1e9:.1f} GFLOP/step")
     out_path.write_text(json.dumps(record, indent=2))
 
 
@@ -243,7 +265,8 @@ def main() -> None:
     parser.add_argument(
         "--workloads",
         default="gan,docufcn,emanet,transunet",
-        help="comma-separated: gan, docufcn, docufcn-s2d, docufcn-s2dt, emanet, transunet",
+        help="comma-separated: gan, docufcn, docufcn-s2d, docufcn-s2dt, "
+        "emanet, transunet, transunet-flash, transunet512, transunet512-flash",
     )
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()

@@ -31,6 +31,11 @@ class TransUNetTrainBuilder(BaseTrainBuilder):
         )
         transformer_config["n_classes"] = config["num_classes"]
         transformer_config["n_skip"] = config.get("num_skip_channels", 3)
+        # "flash" routes self-attention through the tiled Pallas TPU kernel
+        # (no HBM-materialized N x N scores; see models.trans_u_net.Attention)
+        transformer_config["attention_impl"] = config.get(
+            "attention_impl", "xla"
+        )
         vit_patch = config.get("vit_patch_size", 16)
         if transformer_config["patches"].get("grid") is not None:
             transformer_config["patches"]["grid"] = (

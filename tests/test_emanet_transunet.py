@@ -350,3 +350,83 @@ def test_transunet_patch14_geometry():
     # 14x14 patches on 56px -> 4x4 tokens, cup upsamples x16 -> 64, and the
     # head crops/resizes to the input size
     assert logits.shape[0] == 1 and logits.shape[-1] == 3
+
+
+# ---------------------------------------------------------------------------
+# flash attention lowering (attention_impl="flash")
+# ---------------------------------------------------------------------------
+
+def test_transunet_flash_attention_matches_xla():
+    """attention_impl='flash' (Pallas tiled online-softmax kernel) is a pure
+    re-lowering: same parameter tree, same outputs, same gradients. Run in
+    Mosaic interpret mode so the TPU kernel executes on the CPU harness."""
+    import jax.experimental.pallas.tpu as pltpu
+
+    config = VIT_CONFIGS["testing"]()
+    config["transformer"]["dropout_rate"] = 0.0  # isolate the attention op
+    model_xla = VisionTransformer(config=config, img_size=256, num_classes=2)
+    config_flash = {**config, "attention_impl": "flash"}
+    model_flash = VisionTransformer(
+        config=config_flash, img_size=256, num_classes=2
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 256, 256, 3)), jnp.float32
+    )
+    variables = model_xla.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    ref = model_xla.apply(variables, x, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        out = model_flash.apply(variables, x, train=False)  # same params
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the kernel's custom VJP and match the XLA path
+    def loss(fn):
+        def inner(params):
+            batch_stats = variables.get("batch_stats", {})
+            y = fn(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(y**2)
+        return inner
+
+    g_ref = jax.grad(loss(model_xla.apply))(variables["params"])
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss(model_flash.apply))(variables["params"])
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fl = jax.tree_util.tree_leaves_with_path(g_flash)
+    global_scale = max(
+        float(np.abs(np.asarray(a)).max()) for _, a in flat_ref
+    )
+    for (p1, a), (p2, b) in zip(flat_ref, flat_fl):
+        assert p1 == p2
+        # online-softmax reassociates the f32 reduction; grads through a
+        # 2-block encoder agree to ~1e-4 of each leaf's own scale. Floor the
+        # scale at 1% of the global gradient scale: mathematically-zero
+        # leaves (e.g. the key bias — softmax is shift-invariant) are pure
+        # roundoff in BOTH paths and have no meaningful relative error.
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-2 * global_scale)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=0, atol=2e-4,
+            err_msg=jax.tree_util.keystr(p1),
+        )
+
+
+def test_transunet_flash_attention_guards():
+    from synthesis_in_style_tpu.models.trans_u_net import Attention
+
+    x = jnp.zeros((1, 256, 16))
+    # prob-dropout is not expressible inside the fused kernel
+    attn = Attention(num_heads=2, dropout_rate=0.1, impl="flash")
+    with pytest.raises(ValueError, match="attention_dropout_rate"):
+        attn.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # token counts must tile by 128
+    attn = Attention(num_heads=2, dropout_rate=0.0, impl="flash")
+    with pytest.raises(ValueError, match="multiple of 128"):
+        attn.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 196, 16)),
+                  train=False)
