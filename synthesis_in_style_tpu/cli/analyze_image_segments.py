@@ -275,13 +275,18 @@ def main(args: argparse.Namespace) -> None:
             and segmenter.fused_page_inference
         ):
             # Throughput mode: same-tiling pages grouped into one fused
-            # dispatch each, device-argmaxed uint8 fetch. Chunked to bound
-            # host memory for large image dirs.
-            loaded = [(p, load_one(p)) for p in image_paths]
-            loaded = [(p, im) for p, im in loaded if im is not None]
+            # dispatch each, device-argmaxed uint8 fetch. Loading happens
+            # per chunk so host memory stays bounded for large image dirs.
             chunk_size = 4 * pages_per_batch
-            for start in range(0, len(loaded), chunk_size):
-                chunk = loaded[start : start + chunk_size]
+            for start in range(0, len(image_paths), chunk_size):
+                chunk = [
+                    (p, im)
+                    for p in image_paths[start : start + chunk_size]
+                    for im in (load_one(p),)
+                    if im is not None
+                ]
+                if not chunk:
+                    continue
                 predictions = segmenter.segment_images(
                     [im for _, im in chunk], pages_per_batch, output="classes"
                 )

@@ -95,6 +95,11 @@ def _s2d_block_kernel(w: Array, dilation: int) -> tuple:
     """
     kh, kw, ci, co = w.shape
     assert kh == 3 and kw == 3, (kh, kw)
+    # Only d == 1 and even dilations preserve the 2x2 parity structure; an
+    # odd dilation > 1 would make `by // step + 1` land outside [0, 2] and
+    # jnp's .at[] would silently wrap the negative index into a WRONG tap
+    # position rather than erroring.
+    assert dilation == 1 or dilation % 2 == 0, dilation
     step = max(dilation // 2, 1)
     K = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
     for a in range(2):

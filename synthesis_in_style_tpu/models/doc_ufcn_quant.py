@@ -422,6 +422,16 @@ def quantize_for_serving(
     """Calibrate on representative normalized batches and return the
     (network, variables) serving pair with the packed quant tree attached
     under "quant"."""
+    if model.s2d_stem or model.s2d_tail:
+        # The s2d flags are pure re-lowerings over the SAME parameter tree
+        # (models/doc_ufcn.py), but calibrate()/pack_quant() mirror the
+        # unpacked forward: calibrating an s2d model would record packed
+        # 4C-channel ranges that the fold cannot consume. Quantized serving
+        # therefore runs the (numerically identical) unpacked lowering —
+        # the int8 layout removes the lane-padding traffic s2d targets.
+        import dataclasses
+
+        model = dataclasses.replace(model, s2d_stem=0, s2d_tail=False)
     amax = calibrate(model, variables, calibration_batches)
     scales = quant_scales_from_amax(amax)
     quant = pack_quant(model, variables, scales)

@@ -36,11 +36,16 @@ def maybe_initialize_distributed() -> None:
     """
     import os
 
+    def env_flag(name: str) -> bool:
+        return os.environ.get(name, "").strip().lower() not in (
+            "", "0", "false", "no", "off",
+        )
+
     hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     indicated = (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("SIS_MULTIHOST")
+        or env_flag("SIS_MULTIHOST")
         # a Cloud-TPU pod slice lists >1 worker; single-host runtimes
         # (including the dev relay) set one hostname or none
         or ("," in hostnames)
@@ -49,9 +54,20 @@ def maybe_initialize_distributed() -> None:
         return
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        # already initialized (idempotent across CLI layers)
-        pass
+    except RuntimeError as exc:
+        # The only RuntimeError we tolerate is the idempotent re-init
+        # across CLI layers. A genuinely failed bring-up (unreachable or
+        # misconfigured coordinator) must ABORT: swallowing it would leave
+        # process_count()==1 on every host and silently train independent
+        # models on disjoint data shards instead of one DP run.
+        msg = str(exc).lower()
+        if "only be called once" in msg or "already initialized" in msg:
+            return
+        raise RuntimeError(
+            "multi-host was indicated by the environment but "
+            "jax.distributed.initialize() failed — refusing to fall back "
+            "to independent single-host training"
+        ) from exc
 
 
 def make_mesh(

@@ -65,7 +65,7 @@ def preview_montage(
 def augment_one_file(
     image_path: Path,
     dataset_dir: Path,
-    save_dir: Path,
+    save_dir: Path | None,
     num_augmented: int,
     seed: int,
     preview_dir: Path | None = None,
@@ -75,19 +75,20 @@ def augment_one_file(
     rng = np.random.default_rng(seed)
     pairs = augment_image(image, mask, num_augmented, rng=rng)
 
-    out_dir = save_dir / image_path.relative_to(dataset_dir).parent
-    out_dir.mkdir(parents=True, exist_ok=True)
-    for i, (aug_image, aug_mask) in enumerate(pairs):
-        out = combine_side_by_side(aug_image, aug_mask)
-        Image.fromarray(out).save(
-            out_dir / f"{image_path.stem}_aug_{i + 1}{image_path.suffix}"
-        )
+    if save_dir is not None:
+        out_dir = save_dir / image_path.relative_to(dataset_dir).parent
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, (aug_image, aug_mask) in enumerate(pairs):
+            out = combine_side_by_side(aug_image, aug_mask)
+            Image.fromarray(out).save(
+                out_dir / f"{image_path.stem}_aug_{i + 1}{image_path.suffix}"
+            )
     if preview_dir is not None:
         preview_dir.mkdir(parents=True, exist_ok=True)
         Image.fromarray(preview_montage(image, mask, pairs)).save(
             preview_dir / f"{image_path.stem}_preview.png"
         )
-    return len(pairs)
+    return len(pairs) if save_dir is not None else 0
 
 
 def main(args: argparse.Namespace) -> None:
@@ -105,7 +106,7 @@ def main(args: argparse.Namespace) -> None:
         n = augment_one_file(
             path,
             args.dataset_dir,
-            args.save_dir if args.save_dir is not None else args.preview_dir,
+            args.save_dir,  # None => preview-only run, write no pairs
             args.num_augmented_images,
             seed=args.seed + idx,
             preview_dir=args.preview_dir,

@@ -561,12 +561,7 @@ class AnalysisSegmenter:
 
         groups: Dict[tuple, List[tuple]] = {}
         for idx, image in enumerate(images):
-            image = self.convert_image_to_correct_color_space(image)
-            if self.max_image_size and any(
-                side > self.max_image_size for side in image.size
-            ):
-                image.thumbnail((self.max_image_size, self.max_image_size))
-            self._maybe_calibrate_quant(image)
+            image = self._prepare_page(image)
             arr = np.asarray(image, dtype=np.uint8)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
@@ -752,15 +747,21 @@ class AnalysisSegmenter:
             f"inputs with {channels} channels."
         )
 
-    def segment_image(self, image: Image.Image) -> np.ndarray:
-        """Full-page inference (reference :176-188). Returns (H, W, C)
-        assembled class confidences."""
+    def _prepare_page(self, image: Image.Image) -> Image.Image:
+        """Shared page preprocessing for every serving entry point: color
+        space, max-size thumbnail, first-use quant calibration."""
         image = self.convert_image_to_correct_color_space(image)
         if self.max_image_size and any(
             side > self.max_image_size for side in image.size
         ):
             image.thumbnail((self.max_image_size, self.max_image_size))
         self._maybe_calibrate_quant(image)
+        return image
+
+    def segment_image(self, image: Image.Image) -> np.ndarray:
+        """Full-page inference (reference :176-188). Returns (H, W, C)
+        assembled class confidences."""
+        image = self._prepare_page(image)
         if self.fused_page_inference:
             return self._segment_page_fused(image)
         patches = self.crop_and_batch_patches(image)
@@ -775,12 +776,7 @@ class AnalysisSegmenter:
         ids (evaluation, bbox/contour extraction), and `segment_image`
         when it needs the confidences themselves."""
         if self.fused_page_inference:
-            image = self.convert_image_to_correct_color_space(image)
-            if self.max_image_size and any(
-                side > self.max_image_size for side in image.size
-            ):
-                image.thumbnail((self.max_image_size, self.max_image_size))
-            self._maybe_calibrate_quant(image)
+            image = self._prepare_page(image)
             return self._segment_page_fused(image, output="classes")
         return np.argmax(self.segment_image(image), axis=-1).astype(np.uint8)
 

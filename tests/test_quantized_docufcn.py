@@ -111,6 +111,21 @@ def test_quantize_for_serving_adapter():
     assert cfg.num_classes == model.num_classes
 
 
+def test_quantize_for_serving_s2d_checkpoint():
+    """The shipped segmenter configs enable s2d_stem/s2d_tail; quantized
+    serving must consume such a model (same parameter tree) by running the
+    unpacked lowering instead of crashing on packed 4C calibration scales."""
+    import dataclasses
+
+    model, variables, x = _fitted_model(pixel_shuffle=False, seed=5)
+    s2d_model = dataclasses.replace(model, s2d_stem=1, s2d_tail=True)
+    network, qvars = dq.quantize_for_serving(s2d_model, variables, [x])
+    out = np.asarray(network.apply(qvars, x, train=False))
+    ref = np.asarray(model.apply(variables, x, train=False))
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
 def test_calibration_accumulates_over_batches():
     model, variables, x = _fitted_model(pixel_shuffle=False, seed=4)
     a1 = dq.calibrate(model, variables, [x])

@@ -178,3 +178,13 @@ def test_augment_dataset_cli(tmp_path):
     for p in save_dir.glob("**/*.png"):
         q = save_dir2 / p.relative_to(save_dir)
         assert np.array_equal(np.asarray(Image.open(p)), np.asarray(Image.open(q)))
+
+    # preview-only run (the headless --show): montages only, NO aug pairs
+    preview_only = tmp_path / "prev_only"
+    args3 = build_parser().parse_args(
+        [str(dataset_dir), "-n", "2", "--preview-dir", str(preview_only),
+         "--workers", "1"]
+    )
+    main(args3)
+    written = sorted(p.name for p in preview_only.glob("**/*.png"))
+    assert written == ["a_preview.png", "b_preview.png"]
