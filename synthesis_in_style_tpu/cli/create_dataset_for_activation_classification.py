@@ -111,11 +111,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-ge", "--generate-empty-label-images",
                         action="store_true", default=False)
     parser.add_argument("--seed", type=int, default=1)
+    # reference create_dataset_for_activation_classification.py:126-127
+    # device flag, accepted as a no-op (cli/compat.py)
+    from synthesis_in_style_tpu.cli.compat import add_torch_compat_args
+
+    add_torch_compat_args(parser, short_device=True, distributed=False)
     return parser
 
 
 if __name__ == "__main__":
+    from synthesis_in_style_tpu.cli.compat import warn_ignored_torch_args
+
     parsed = build_parser().parse_args()
+    warn_ignored_torch_args(parsed)
     if not (parsed.save_activations or parsed.save_latents):
         print(
             "Neither --save-latents nor save-activations have been used. Thus, "

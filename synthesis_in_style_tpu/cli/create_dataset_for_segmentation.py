@@ -305,10 +305,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--classifier-path", default=None)
     parser.add_argument("-ssd", "--semantic-segmentation-base-dir", type=Path,
                         default=None)
+    # reference create_dataset_for_segmentation.py:223-224 device flag,
+    # accepted as a no-op (cli/compat.py)
+    from synthesis_in_style_tpu.cli.compat import add_torch_compat_args
+
+    add_torch_compat_args(parser, short_device=True, distributed=False)
     return parser
 
 
 if __name__ == "__main__":
+    from synthesis_in_style_tpu.cli.compat import warn_ignored_torch_args
+
     parsed = build_parser().parse_args()
+    warn_ignored_torch_args(parsed)
     global_config.debug = parsed.debug
     main(parsed)

@@ -30,7 +30,10 @@ import numpy as np
 from PIL import Image, ImageColor
 
 from synthesis_in_style_tpu.core.config import load_config_from_checkpoint
-from synthesis_in_style_tpu.models.factory import load_generator
+from synthesis_in_style_tpu.models.factory import (
+    load_autoencoder_or_generator,
+    load_generator,
+)
 from synthesis_in_style_tpu.segmentation.factor_catalog import (
     FactorCatalog,
     save_catalogs,
@@ -60,6 +63,75 @@ def prepare_output_dir(args: argparse.Namespace) -> Path:
     output_dir = root_dir / args.destination
     output_dir.mkdir(exist_ok=True, parents=True)
     return output_dir
+
+
+def make_encode_generate_fn(ae, variables):
+    """Jitted real-image batch -> (activations dict, uint8 images): encode
+    through the autoencoder's encoder, decode with activation capture
+    (reference get_activations :67-93, the `--images` branch — real images
+    embedded via `autoencoder.encode`, then the decoder forward with
+    `return_intermediate_activations=True`).
+
+    When the encoder predicts no per-layer noise, the decoder uses its
+    stored noise buffers (deterministic) rather than the reference's fresh
+    randn draw — the activations being clustered are the conv features,
+    which the noise injection does not feed."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.models.autoencoder import is_wplus
+
+    def _encode_capture(mdl, x):
+        latents = mdl.encode(x)
+        noise = list(latents.noise) if latents.noise is not None else None
+        image, acts = mdl.decoder(
+            [latents.latent],
+            input_is_latent=is_wplus(latents),
+            noise=noise,
+            randomize_noise=False,
+            return_intermediate_activations=True,
+        )
+        return image, acts
+
+    @jax.jit
+    def generate(batch):
+        image, acts = ae.apply(variables, batch, method=_encode_capture)
+        image = jnp.clip(
+            jnp.round((image.astype(jnp.float32) + 1.0) * 127.5), 0, 255
+        ).astype(jnp.uint8)
+        return acts, image
+
+    return generate
+
+
+def build_image_batch_stream(json_path, config):
+    """Infinite stream of normalized (B, H, W, C) batches from a JSON image
+    list (reference build_data_loader with shuffle_off=True,
+    create_semantic_segmentation.py:171-172), wrapping at the end."""
+    import jax.numpy as jnp
+
+    from synthesis_in_style_tpu.cli.train_stylegan_2 import GANImageDataset
+
+    json_path = Path(json_path)
+    dataset = GANImageDataset(
+        json_path,
+        root=json_path.parent,
+        image_size=config["image_size"],
+        num_channels=config.get("input_dim", 3),
+    )
+    batch_size = config["batch_size"]
+
+    def stream():
+        index = 0
+        while True:
+            batch = [
+                dataset[i % len(dataset)]["images"]
+                for i in range(index, index + batch_size)
+            ]
+            index += batch_size
+            yield jnp.asarray(np.stack(batch))
+
+    return stream()
 
 
 def get_activations(
@@ -165,9 +237,25 @@ def main(args: argparse.Namespace) -> None:
     config = load_config_from_checkpoint(args.checkpoint, args.original_config_path)
     config["batch_size"] = args.batch_size
 
-    gen, variables = load_generator(args.checkpoint, config)
-    generate = make_generate_fn(gen, variables)
-    latent_stream = build_latent_and_noise_generator(config)
+    if getattr(args, "images", None) is not None:
+        # real base images through the autoencoder's encoder (reference
+        # `-i/--images`, create_semantic_segmentation.py:170-172 — "only
+        # works with autoencoder checkpoint")
+        model, variables = load_autoencoder_or_generator(
+            args.checkpoint, config
+        )
+        if not hasattr(model, "encoder"):
+            raise ValueError(
+                "--images requires an autoencoder checkpoint (one with an "
+                "'autoencoder' entry); this checkpoint only holds a "
+                "generator — drop --images to cluster sampled latents"
+            )
+        generate = make_encode_generate_fn(model, variables)
+        latent_stream = build_image_batch_stream(args.images, config)
+    else:
+        gen, variables = load_generator(args.checkpoint, config)
+        generate = make_generate_fn(gen, variables)
+        latent_stream = build_latent_and_noise_generator(config)
 
     activations, generated_images = get_activations(args, generate, latent_stream)
     if args.strip_activations_from is not None:
@@ -200,9 +288,24 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-b", "--batch-size", default=10, type=int)
     parser.add_argument("-n", "--num-samples", default=100, type=int)
     parser.add_argument("-c", "--cluster-range", nargs=2, default=[3, 24], type=int)
+    parser.add_argument(
+        "-i", "--images", default=None,
+        help="path to a JSON image list to embed as base images instead of "
+        "sampling latents (only works with an autoencoder checkpoint; "
+        "reference create_semantic_segmentation.py:209-210)",
+    )
     parser.add_argument("-s", "--strip-activations-from", type=int, default=None)
+    # reference create_semantic_segmentation.py:199 device flag, accepted
+    # as a no-op (cli/compat.py)
+    from synthesis_in_style_tpu.cli.compat import add_torch_compat_args
+
+    add_torch_compat_args(parser, distributed=False)
     return parser
 
 
 if __name__ == "__main__":
-    main(build_parser().parse_args())
+    from synthesis_in_style_tpu.cli.compat import warn_ignored_torch_args
+
+    parsed = build_parser().parse_args()
+    warn_ignored_torch_args(parsed)
+    main(parsed)

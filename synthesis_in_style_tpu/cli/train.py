@@ -175,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the run")
+    # reference train.py:166-168 DDP plumbing flags, accepted as no-ops
+    from synthesis_in_style_tpu.cli.compat import add_torch_compat_args
+
+    add_torch_compat_args(parser, device=False)
     return parser
 
 

@@ -231,23 +231,37 @@ def main(args: argparse.Namespace) -> None:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Same surface as the reference parser
+    (train_adversarial_generator.py:177-190): positional `config` then
+    `autoencoder_checkpoint`, `-o/-f` short aliases, `--val-images`
+    (accepted, unused in the reference main too), `-ln/--log-name`, and
+    the torch-era plumbing flags as no-ops (cli/compat.py)."""
+    from synthesis_in_style_tpu.cli.compat import add_torch_compat_args
+
     parser = argparse.ArgumentParser(
         description="Train an adversarial binary-to-styled-image generator"
     )
+    parser.add_argument("config", help="path to yaml config to use for training")
     parser.add_argument("autoencoder_checkpoint")
-    parser.add_argument("--config", default=None)
     parser.add_argument("--overwrite-config", action="store_true", default=False)
-    parser.add_argument("--original-images", required=True)
-    parser.add_argument("--fake-images", required=True)
+    parser.add_argument("-o", "--original-images", required=True)
+    parser.add_argument("-f", "--fake-images", required=True)
+    parser.add_argument("--val-images", dest="val_images", default=None)
     parser.add_argument("--absolute", action="store_true", default=False)
     parser.add_argument("-l", "--log-dir", default="adversarial_training")
+    parser.add_argument("-ln", "--log-name", default="training")
     parser.add_argument("--debug", action="store_true", default=False)
+    add_torch_compat_args(parser, short_device=True)
     return parser
 
 
 if __name__ == "__main__":
+    from synthesis_in_style_tpu.cli.compat import warn_ignored_torch_args
+
     parsed = build_parser().parse_args()
+    warn_ignored_torch_args(parsed)
     parsed.log_dir = os.path.join(
-        "logs", parsed.log_dir, datetime.datetime.now().isoformat()
+        "logs", parsed.log_dir, parsed.log_name,
+        datetime.datetime.now().isoformat(),
     )
     main(parsed)

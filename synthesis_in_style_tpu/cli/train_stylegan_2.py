@@ -107,6 +107,20 @@ def main(args: argparse.Namespace) -> None:
     maybe_initialize_distributed()
     config = load_yaml_config(args.config)
     config = merge_config_and_args(config, args)
+    if str(config.get("stylegan_variant", 2)) == "1":
+        # the reference CLI accepts -s 1 but its main only dispatches
+        # swagan-vs-stylegan2 (reference train_stylegan_2.py:52-55) —
+        # match that observable behavior, with a warning instead of silence
+        import warnings
+
+        warnings.warn(
+            "stylegan_variant '1' falls back to StyleGAN2 (the reference "
+            "trainer only dispatches swagan vs stylegan2)"
+        )
+        config["stylegan_variant"] = 2
+    from synthesis_in_style_tpu.cli.compat import warn_ignored_torch_args
+
+    warn_ignored_torch_args(args)
     log_dir = Path(config["log_dir"])
 
     if args.cache_root is not None:
@@ -292,6 +306,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--val-images", dest="val_images", default=None)
     parser.add_argument("--resume-ckpt", dest="resume_ckpt", default=None)
     parser.add_argument("-c", "--cache-root", default=None)
+    # reference train_stylegan_2.py:201 — the variant flag; merged into
+    # config["stylegan_variant"] by merge_config_and_args when passed
+    # (default None so a config-file value is preserved, a strict superset
+    # of the reference's always-override default "2")
+    parser.add_argument("-s", "--stylegan-variant", type=str.lower,
+                        choices=["1", "2", "swagan"], default=None,
+                        help="which stylegan variant to use")
     parser.add_argument("-l", "--log-dir", default="training")
     parser.add_argument("-ln", "--log-name", default="stylegan2")
     parser.add_argument("--wandb-project-name", default=None)
@@ -299,6 +320,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the run")
+    # reference train_stylegan_2.py:194-199 CUDA/DDP flags, accepted as
+    # no-ops (cli/compat.py)
+    from synthesis_in_style_tpu.cli.compat import add_torch_compat_args
+
+    add_torch_compat_args(parser)
     return parser
 
 

@@ -116,7 +116,7 @@ def test_adversarial_cli_end_to_end(tmp_path):
     config_path.write_text(yaml.dump(config))
 
     args = adv.build_parser().parse_args(
-        ["nonexistent_checkpoint", "--config", str(config_path),
+        [str(config_path), "nonexistent_checkpoint",
          "--original-images", str(tmp_path / "real.json"),
          "--fake-images", str(tmp_path / "fake.json"), "--debug"]
     )
