@@ -27,7 +27,7 @@ def add_torch_compat_args(
 
     `short_device` also registers `-d` (the reference uses `-d --device`
     on the dataset-creation and adversarial CLIs, long-only elsewhere).
-    Defaults are `None`/`0` so `merge_config_and_args` never copies a
+    Defaults are all `None` so `merge_config_and_args` never copies a
     phantom value into the run config.
     """
     if device:
@@ -41,7 +41,7 @@ def add_torch_compat_args(
         parser.add_argument(
             "--local_rank",
             type=int,
-            default=0,
+            default=None,
             help="ignored (torch-era flag): multi-host init is automatic "
             "(parallel.maybe_initialize_distributed)",
         )
@@ -61,7 +61,7 @@ def warn_ignored_torch_args(args: argparse.Namespace) -> None:
         for name in ("device", "mpi_backend")
         if getattr(args, name, None) is not None
     ]
-    if getattr(args, "local_rank", 0):
+    if getattr(args, "local_rank", None):  # None (unset) and 0 both silent
         ignored.append("--local_rank")
     if ignored:
         warnings.warn(

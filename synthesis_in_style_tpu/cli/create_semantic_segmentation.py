@@ -74,8 +74,10 @@ def make_encode_generate_fn(ae, variables):
 
     When the encoder predicts no per-layer noise, the decoder uses its
     stored noise buffers (deterministic) rather than the reference's fresh
-    randn draw — the activations being clustered are the conv features,
-    which the noise injection does not feed."""
+    randn draw. The captured activations are post-StyledConv outputs
+    (models/stylegan2.py), which DO include noise injection, so this
+    deviation perturbs them slightly — the trade is reproducible
+    clustering across runs for a small, noise-level activation shift."""
     import jax
     import jax.numpy as jnp
 

@@ -79,12 +79,22 @@ def get_data_loader(
     else:
         raise NotImplementedError
     num_workers = 1 if global_config.debug else config.get("num_workers", 8)
+    # validation runs UNSHARDED (num_shards=1): the evaluator applies the
+    # global-mesh model state to each host's local batch, and jax requires
+    # host-local inputs to a multi-process computation to be identical on
+    # every host (device_put asserts it) — process-sharded val batches
+    # would differ per host and crash; replicating the val pass gives
+    # every host the same (global) metrics instead, write-gated to rank 0
+    shard_kwargs = (
+        dict(shard_id=0, num_shards=1) if validation else {}
+    )
     return DataLoader(
         dataset,
         config["batch_size"],
         shuffle=not validation,
         drop_last=not validation,
         num_workers=num_workers,
+        **shard_kwargs,
     )
 
 
@@ -185,6 +195,9 @@ def build_parser() -> argparse.ArgumentParser:
 if __name__ == "__main__":
     logging.basicConfig(level=logging.INFO)
     parsed = build_parser().parse_args()
+    from synthesis_in_style_tpu.cli.compat import warn_ignored_torch_args
+
+    warn_ignored_torch_args(parsed)
     parsed.log_dir = os.path.join(
         "logs", parsed.log_dir, parsed.log_name,
         datetime.datetime.now().isoformat(),

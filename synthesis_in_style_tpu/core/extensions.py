@@ -45,14 +45,19 @@ class Snapshotter(Extension):
         return self._checkpointer
 
     def run(self, trainer: Trainer):
-        if not _is_main_process():
-            return
+        # EVERY process must call orbax save: in a multi-process runtime the
+        # checkpointer synchronizes via global barriers and writes once from
+        # the primary host — a rank-0-only call (the torch-DDP idiom,
+        # reference base_train_builder.py:91-102) deadlocks rank 0 in the
+        # save barrier while the other ranks run ahead (observed in
+        # tests/test_multiprocess.py development)
         state = self.state_fn(trainer)
         state = jax.tree_util.tree_map(np.asarray, state)
         path = (self.checkpoint_dir / f"iter_{trainer.updater.iteration:08d}").resolve()
         self._get_checkpointer().save(path, state, force=True)
         self._last_saved_iteration = trainer.updater.iteration
-        logger.info("snapshot saved to %s", path)
+        if _is_main_process():
+            logger.info("snapshot saved to %s", path)
 
     def finalize(self, trainer: Trainer):
         # skip the final save when the trigger already wrote this iteration:

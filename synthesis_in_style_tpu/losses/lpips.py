@@ -6,16 +6,21 @@ Capability parity with the vendored richzhang library used by the reference
 normalize → squared diff → learned 1x1 "lin" weights → spatial mean → sum
 over taps.
 
-Weights: the learned lin weights are the small public LPIPS v0.1 .pth files
-(vendored by the reference, losses/lpips/weights/); convert with
-`load_torch_lpips_lin`. The backbone (AlexNet/VGG16) needs torchvision
-ImageNet weights which are NOT available in this image — without them the
-distance runs with a random backbone (architecture capability intact,
-values uncalibrated). Pass converted backbones via `backbone_variables`.
+Weights: the learned lin calibration weights (the reference vendors them as
+losses/lpips/weights/v0.{0,1}/{alex,vgg,squeeze}.pth) are VENDORED in this
+repo as framework-neutral npz (losses/lpips_weights/) and load by default —
+no torch needed. The backbone (AlexNet/VGG16) additionally needs torchvision
+ImageNet weights: convert once with `scripts/fetch_metric_weights.py` and
+pass via `backbone_variables` (or set SIS_METRIC_WEIGHTS to the converted
+dir). Without them the distance runs with a random backbone (architecture
+capability intact, values UNCALIBRATED) and warns loudly.
 """
 
 from __future__ import annotations
 
+import os
+import warnings
+from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -57,6 +62,36 @@ def load_torch_lpips_lin(path) -> List[np.ndarray]:
     return lins
 
 
+VENDORED_LIN_DIR = Path(__file__).parent / "lpips_weights"
+
+
+def load_vendored_lpips_lin(
+    net: str = "alex", version: str = "0.1"
+) -> List[np.ndarray]:
+    """The in-repo npz conversion of the reference's shipped lin weights
+    (reference losses/lpips/weights/v0.{0,1}/{alex,vgg,squeeze}.pth;
+    richzhang/PerceptualSimilarity, BSD). No torch dependency."""
+    net = {"vgg16": "vgg"}.get(net, net)
+    path = VENDORED_LIN_DIR / f"v{version}" / f"{net}.npz"
+    data = np.load(path)
+    return [data[f"lin{k}"] for k in range(len(data.files))]
+
+
+def _backbone_variables_from_env(net: str):
+    """Converted ImageNet backbone npz from $SIS_METRIC_WEIGHTS (written by
+    scripts/fetch_metric_weights.py), or None."""
+    root = os.environ.get("SIS_METRIC_WEIGHTS")
+    if not root:
+        return None
+    name = {"vgg16": "vgg"}.get(net, net)
+    path = Path(root) / f"{name}_features.npz"
+    if not path.exists():
+        return None
+    from synthesis_in_style_tpu.utils.checkpoint import unflatten_npz
+
+    return unflatten_npz(np.load(path))
+
+
 class LPIPS:
     """Callable LPIPS distance, pure/jittable (reference PNetLin.forward,
     networks_basic.py:66-94)."""
@@ -67,6 +102,8 @@ class LPIPS:
         backbone_variables: Optional[Dict[str, Any]] = None,
         lin_weights: Optional[List[np.ndarray]] = None,
         lin_weights_path=None,
+        use_lin: bool = True,
+        version: str = "0.1",
         seed: int = 0,
     ):
         if net in ("vgg", "vgg16"):
@@ -79,11 +116,28 @@ class LPIPS:
             channels = ALEXNET_CHANNELS
         else:
             raise NotImplementedError(net)
+        if backbone_variables is None:
+            backbone_variables = _backbone_variables_from_env(net)
+        self.calibrated_backbone = backbone_variables is not None
+        if not self.calibrated_backbone:
+            warnings.warn(
+                f"LPIPS({net!r}): no ImageNet backbone weights — distances "
+                "use a RANDOM-INIT backbone and are NOT calibrated LPIPS. "
+                "Convert torchvision weights once with "
+                "scripts/fetch_metric_weights.py and set SIS_METRIC_WEIGHTS "
+                "(or pass backbone_variables).",
+                stacklevel=2,
+            )
         self.variables = backbone_variables or init_extractor(
             self.backbone, seed=seed
         )
         if lin_weights is None and lin_weights_path is not None:
             lin_weights = load_torch_lpips_lin(lin_weights_path)
+        if lin_weights is None and use_lin:
+            # the reference's default: shipped lin calibration weights
+            # (losses/lpips/__init__.py:14-25 loads weights/v0.1/<net>.pth);
+            # ours are vendored as npz, so this needs no external files
+            lin_weights = load_vendored_lpips_lin(net, version)
         if lin_weights is None:
             # lpips=False mode of the reference: plain summed diffs
             lin_weights = [np.ones(c, np.float32) for c in channels]

@@ -70,13 +70,26 @@ def get_discriminator(
     raise NotImplementedError(f"stylegan variant {variant!r} not supported")
 
 
+def autoencoder_type_from_config(config: Dict[str, Any]) -> str:
+    """Reference autoencoder-variant dispatch from config keys (reference
+    get_stylegan_2_based_autoencoder, networks/__init__.py:326-354:
+    `two_stem` beats `dropout_autoencoder`, else the plain wplus AE)."""
+    if config.get("two_stem", False):
+        return "two_stem"
+    if config.get("dropout_autoencoder", False):
+        return "dropout"
+    return "wplus"
+
+
 def get_autoencoder(config: Dict[str, Any], autoencoder_type: str = "wplus"):
     """Encoder+generator composition from a training config (reference
     get_autoencoder dispatch on stylegan_variant + the get_stylegan2_*
     factory family, networks/__init__.py:36-412).
 
     autoencoder_type: 'wplus' | 'dropout' | 'two_stem' | 'content_and_style'
-    | 'superresolution' | 'wplus_resnet_noise'.
+    | 'superresolution' | 'wplus_resnet_noise'. The config's `w_only` flag
+    swaps in the summed-to-w encoders (reference networks/__init__.py:335,
+    :344 — WNoNoiseEncoder for two_stem, WWPlusEncoder otherwise).
     """
     from synthesis_in_style_tpu.models.autoencoder import (
         ContentAndStyleStyleganAutoencoder,
@@ -87,9 +100,11 @@ def get_autoencoder(config: Dict[str, Any], autoencoder_type: str = "wplus"):
     )
     from synthesis_in_style_tpu.models.encoder import (
         NoiseEncoder,
+        WNoNoiseEncoder,
         WPlusEncoder,
         WPlusNoNoiseEncoder,
         WPlusResnetNoiseEncoder,
+        WWPlusEncoder,
     )
     from synthesis_in_style_tpu.models.stylegan2 import generator_channels
 
@@ -99,9 +114,11 @@ def get_autoencoder(config: Dict[str, Any], autoencoder_type: str = "wplus"):
     latent_size = config.get("latent_size", 512)
     in_ch = config.get("input_dim", 3)
     variant = 2 if str(config.get("stylegan_variant", 2)) != "1" else 1
+    w_only = bool(config.get("w_only", False))
 
     def wplus_encoder(num_channels=in_ch, **kwargs):
-        return WPlusEncoder(
+        cls = WWPlusEncoder if w_only else WPlusEncoder
+        return cls(
             image_size, latent_size, num_channels, channels,
             stylegan_variant=variant, **kwargs,
         )
@@ -132,8 +149,9 @@ def get_autoencoder(config: Dict[str, Any], autoencoder_type: str = "wplus"):
             ),
         )
     if autoencoder_type == "two_stem":
+        latent_cls = WNoNoiseEncoder if w_only else WPlusNoNoiseEncoder
         return TwoStemStyleganAutoencoder(
-            latent_encoder=WPlusNoNoiseEncoder(
+            latent_encoder=latent_cls(
                 image_size, latent_size, in_ch, channels,
                 stylegan_variant=variant,
             ),
@@ -158,7 +176,7 @@ def load_autoencoder_or_generator(
 
         tree = load_pytree(checkpoint_path)
         if "autoencoder" in tree:
-            ae = get_autoencoder(config)
+            ae = get_autoencoder(config, autoencoder_type_from_config(config))
             variables = jax.tree_util.tree_map(jnp.asarray, tree["autoencoder"])
             return ae, variables
     return load_generator(checkpoint_path, config)

@@ -52,8 +52,17 @@ def maybe_initialize_distributed() -> None:
     )
     if not indicated:
         return
+    # Outside managed launchers (Slurm/OMPI/Cloud-TPU), JAX cannot
+    # auto-detect process count/id — honor the conventional env vars so a
+    # plain N-process launch (e.g. the multi-process CPU tests, or a bare
+    # `for i in ...; python train.py &` across hosts) initializes too.
+    kwargs = {}
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if num is not None and pid is not None:
+        kwargs = dict(num_processes=int(num), process_id=int(pid))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as exc:
         # The only RuntimeError we tolerate is the idempotent re-init
         # across CLI layers. A genuinely failed bring-up (unreachable or

@@ -760,3 +760,33 @@ def load_generator_variables(
         return variables
     torch_ckpt = load_torch_checkpoint(checkpoint_path)
     return torch_generator_to_flax(torch_ckpt[key])
+
+
+def save_pytree_npz(path: Union[str, Path], tree: Dict[str, Any]) -> None:
+    """Flatten a nested dict pytree to '/'-joined keys and save as npz
+    (framework-neutral weight interchange, e.g. converted metric backbones
+    — scripts/fetch_metric_weights.py)."""
+    flat = {}
+
+    def _walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                _walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    _walk("", tree)
+    np.savez(str(path), **flat)
+
+
+def unflatten_npz(data) -> Dict[str, Any]:
+    """Inverse of save_pytree_npz: an npz (or dict) with '/'-joined keys
+    back to a nested dict."""
+    tree: Dict[str, Any] = {}
+    for key in getattr(data, "files", None) or list(data):
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree

@@ -11,9 +11,13 @@ import yaml
 from PIL import Image
 
 from synthesis_in_style_tpu.models.factory import (
+
     get_autoencoder,
     load_autoencoder_or_generator,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 CONFIG = {
     "image_size": 32,

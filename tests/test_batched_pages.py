@@ -19,6 +19,10 @@ from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
 
 from test_fused_page_inference import COLOR_MAP, _build, conv_net  # noqa: F401
 
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
+
 
 def _pages(rng, sizes):
     return [

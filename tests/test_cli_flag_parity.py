@@ -179,3 +179,26 @@ def test_compat_args_are_inert_by_default():
     merged = merge_config_and_args({"a": 1}, args)
     assert "device" not in merged
     assert "mpi_backend" not in merged
+    assert "local_rank" not in merged
+
+
+def test_local_rank_zero_does_not_warn():
+    """Passing the default rank 0 explicitly must stay silent; a nonzero
+    rank triggers the one accepted-and-ignored warning."""
+    import argparse
+    import warnings
+
+    from synthesis_in_style_tpu.cli.compat import (
+        add_torch_compat_args,
+        warn_ignored_torch_args,
+    )
+
+    parser = argparse.ArgumentParser()
+    add_torch_compat_args(parser)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        warn_ignored_torch_args(parser.parse_args(["--local_rank", "0"]))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        warn_ignored_torch_args(parser.parse_args(["--local_rank", "1"]))
+    assert any("--local_rank" in str(w.message) for w in caught)

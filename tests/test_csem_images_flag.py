@@ -13,6 +13,10 @@ from PIL import Image
 from synthesis_in_style_tpu.models.factory import get_autoencoder
 from synthesis_in_style_tpu.utils.checkpoint import save_pytree
 
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
+
 SIZE = 16
 STYLE_DIM = 16
 

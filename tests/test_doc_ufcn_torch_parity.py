@@ -17,6 +17,10 @@ from synthesis_in_style_tpu.utils.checkpoint import torch_doc_ufcn_to_flax
 
 from reference_loader import REFERENCE, load_reference_module, randomize_bn
 
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
+
 
 @pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
 def test_doc_ufcn_forward_matches_torch_reference():

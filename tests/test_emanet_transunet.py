@@ -13,9 +13,13 @@ from synthesis_in_style_tpu.models.ema_net import (
     resize_bilinear_align_corners,
 )
 from synthesis_in_style_tpu.models.trans_u_net import (
+
     VIT_CONFIGS,
     VisionTransformer,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def test_resize_bilinear_align_corners_matches_torch():

@@ -14,9 +14,13 @@ from PIL import Image
 
 from synthesis_in_style_tpu.models.base_segmenter import SegmenterConfig
 from synthesis_in_style_tpu.segmentation.analysis_segmenter import (
+
     AnalysisSegmenter,
     VotingAssemblySegmenter,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 @pytest.fixture(scope="module")

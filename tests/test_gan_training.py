@@ -11,12 +11,16 @@ import pytest
 from synthesis_in_style_tpu.models.stylegan2 import Discriminator, Generator
 from synthesis_in_style_tpu.parallel import make_mesh, replicate, shard_batch
 from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+
     GANTrainState,
     StyleGAN2Config,
     StyleGAN2Updater,
     create_gan_train_state,
     make_train_steps,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 SIZE = 16
 BATCH = 8

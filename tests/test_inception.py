@@ -1,11 +1,14 @@
 """InceptionV3 feature extractor: shapes, converter structure (reference
 FID backbone, evaluation/fid.py:37-41)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from synthesis_in_style_tpu.models.inception_v3 import (
+
     InceptionV3Features,
     avg_pool_no_pad,
     init_inception,
@@ -13,6 +16,9 @@ from synthesis_in_style_tpu.models.inception_v3 import (
     make_inception_feature_fn,
     preprocess,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def test_avg_pool_no_pad_counts_valid_only():

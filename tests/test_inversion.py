@@ -11,10 +11,14 @@ import pytest
 from synthesis_in_style_tpu.models.autoencoder import StyleganAutoencoder
 from synthesis_in_style_tpu.models.encoder import Latents, WPlusEncoder
 from synthesis_in_style_tpu.models.stylegan2 import (
+
     Discriminator,
     Generator,
     generator_channels,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 SIZE = 32
 STYLE = 64
@@ -199,3 +203,33 @@ def test_latent_projection_reduces_loss(gen):
     final_loss = float(loss_fn(projector.generate(best), target)[0])
     assert final_loss < initial_loss
     assert len(paths) >= 2
+
+
+def test_autoencoder_type_dispatch_from_config():
+    """ADVICE r2: load path must honor the reference's config-key dispatch
+    (networks/__init__.py:326-354) instead of always building wplus."""
+    from synthesis_in_style_tpu.models.autoencoder import (
+        DropoutStyleganAutoencoder,
+        TwoStemStyleganAutoencoder,
+    )
+    from synthesis_in_style_tpu.models.encoder import WNoNoiseEncoder, WWPlusEncoder
+    from synthesis_in_style_tpu.models.factory import (
+        autoencoder_type_from_config,
+        get_autoencoder,
+    )
+
+    base = {"image_size": 32, "latent_size": 16, "stylegan_variant": 2}
+    assert autoencoder_type_from_config(base) == "wplus"
+    assert autoencoder_type_from_config({**base, "dropout_autoencoder": True}) == "dropout"
+    # two_stem beats dropout, like the reference's early return
+    assert autoencoder_type_from_config(
+        {**base, "two_stem": True, "dropout_autoencoder": True}
+    ) == "two_stem"
+
+    ae = get_autoencoder({**base, "dropout_autoencoder": True}, "dropout")
+    assert isinstance(ae, DropoutStyleganAutoencoder)
+    ae = get_autoencoder({**base, "two_stem": True, "w_only": True}, "two_stem")
+    assert isinstance(ae, TwoStemStyleganAutoencoder)
+    assert isinstance(ae.latent_encoder, WNoNoiseEncoder)
+    ae = get_autoencoder({**base, "w_only": True}, "wplus")
+    assert isinstance(ae.encoder, WWPlusEncoder)

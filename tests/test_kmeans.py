@@ -8,10 +8,14 @@ import numpy as np
 import pytest
 
 from synthesis_in_style_tpu.segmentation.kmeans import (
+
     MiniBatchSphericalKMeans,
     _minibatch_step,
     assign_euclidean,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def _blobs(n_per: int, centers: np.ndarray, scale: float, seed: int = 0):

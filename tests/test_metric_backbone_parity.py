@@ -40,9 +40,12 @@ from synthesis_in_style_tpu.losses.feature_extractors import (
 )
 from synthesis_in_style_tpu.losses.lpips import LPIPS
 
-pytestmark = pytest.mark.skipif(
-    not REFERENCE.exists(), reason="reference repo not present"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not REFERENCE.exists(), reason="reference repo not present"
+    ),
+    pytest.mark.slow,  # excluded from the quick lane (-m 'not slow')
+]
 
 LIN_WEIGHTS = REFERENCE / "losses" / "lpips" / "weights" / "v0.1"
 

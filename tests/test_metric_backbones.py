@@ -233,3 +233,96 @@ def test_avg_pool_no_pad_matches_torch_on_ramp():
         )
     ours = np.asarray(avg_pool_no_pad(jnp.asarray(x)))
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------- vendored LPIPS lin weights (VERDICT r2 #3) ----------------
+
+def test_vendored_lin_weights_match_reference_pth():
+    """The in-repo npz conversion must equal the reference's shipped .pth
+    values bit-for-bit (reference losses/lpips/weights/)."""
+    import os
+
+    import pytest as _pytest
+
+    from synthesis_in_style_tpu.losses.lpips import (
+        load_torch_lpips_lin,
+        load_vendored_lpips_lin,
+    )
+
+    ref_root = "/root/reference/stylegan_code_finder/losses/lpips/weights"
+    if not os.path.isdir(ref_root):
+        _pytest.skip("reference repo not mounted")
+    for ver in ("0.0", "0.1"):
+        for net in ("alex", "vgg", "squeeze"):
+            ours = load_vendored_lpips_lin(net, ver)
+            theirs = load_torch_lpips_lin(f"{ref_root}/v{ver}/{net}.pth")
+            assert len(ours) == len(theirs)
+            for a, b in zip(ours, theirs):
+                np.testing.assert_array_equal(a, np.asarray(b, np.float32))
+
+
+def test_lpips_default_uses_vendored_lins_and_warns_uncalibrated():
+    """Out-of-the-box LPIPS: vendored v0.1 lin weights loaded with NO torch
+    dependency; a loud warning flags the random-init backbone."""
+    import warnings
+
+    from synthesis_in_style_tpu.losses.lpips import LPIPS
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lp = LPIPS(net="alex")
+    assert any("NOT calibrated" in str(w.message) for w in caught)
+    assert not lp.calibrated_backbone
+    assert len(lp.lin_weights) == 5
+    # the real calibration values, not all-ones
+    assert float(np.asarray(lp.lin_weights[0]).std()) > 0
+
+
+def test_lpips_env_backbone_suppresses_warning(tmp_path, monkeypatch):
+    """With $SIS_METRIC_WEIGHTS pointing at converted backbone npz, LPIPS
+    loads it and stops warning (scripts/fetch_metric_weights.py contract)."""
+    import warnings
+
+    from synthesis_in_style_tpu.losses.feature_extractors import (
+        AlexNetFeatures,
+        init_extractor,
+    )
+    from synthesis_in_style_tpu.losses.lpips import LPIPS
+    from synthesis_in_style_tpu.utils.checkpoint import save_pytree_npz
+
+    variables = init_extractor(AlexNetFeatures(), seed=3)
+    save_pytree_npz(tmp_path / "alex_features.npz", variables)
+    monkeypatch.setenv("SIS_METRIC_WEIGHTS", str(tmp_path))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lp = LPIPS(net="alex")
+    assert lp.calibrated_backbone
+    x = np.zeros((1, 32, 32, 3), "f4")
+    d = lp(jnp.asarray(x), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_fid_default_warns_random_embedding():
+    import warnings
+
+    from synthesis_in_style_tpu.evaluation.fid import FID
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        FID(num_samples=4)
+    assert any("NOT calibrated FID" in str(w.message) for w in caught)
+
+
+def test_pytree_npz_roundtrip(tmp_path):
+    from synthesis_in_style_tpu.utils.checkpoint import (
+        save_pytree_npz,
+        unflatten_npz,
+    )
+
+    tree = {"a": {"b": np.arange(3.0), "c": np.ones((2, 2))}, "d": np.zeros(1)}
+    save_pytree_npz(tmp_path / "t.npz", tree)
+    back = unflatten_npz(np.load(tmp_path / "t.npz"))
+    assert set(back) == {"a", "d"}
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(back["a"]["c"], tree["a"]["c"])
+    np.testing.assert_array_equal(back["d"], tree["d"])

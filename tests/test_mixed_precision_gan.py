@@ -1,6 +1,8 @@
 """Mixed-precision GAN training: bf16 compute with f32 master params
 (updaters/stylegan2_updater.py compute_dtype)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,10 +10,14 @@ import optax
 
 from synthesis_in_style_tpu.models.stylegan2 import Discriminator, Generator
 from synthesis_in_style_tpu.updaters.stylegan2_updater import (
+
     StyleGAN2Config,
     create_gan_train_state,
     make_train_steps,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def test_bf16_gan_steps_keep_f32_masters():

@@ -2,6 +2,8 @@
 something the reference never tested (SURVEY.md §4): batch-sharded jit with
 replicated params; BatchNorm statistics and gradients sync implicitly."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,9 +12,13 @@ import optax
 from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
 from synthesis_in_style_tpu.parallel import make_mesh, replicate, shard_batch
 from synthesis_in_style_tpu.updaters.segmentation_updater import (
+
     create_seg_train_state,
     make_standard_train_step,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def test_docufcn_dp_train_step(eight_devices):

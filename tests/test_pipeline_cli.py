@@ -26,6 +26,9 @@ from synthesis_in_style_tpu.utils.checkpoint import (
     torch_generator_to_flax,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
 SIZE = 32
 STYLE_DIM = 32
 
@@ -91,6 +94,7 @@ def test_generator_converter_roundtrip():
 # ---------------- full pipeline ---------------------------------------------
 
 import pytest
+
 
 
 @pytest.mark.parametrize(

@@ -15,6 +15,10 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
+
 
 def _rect_dataset(rng, n, size, classes=3):
     """Trivially learnable segmentation task: colored rectangles on a dark

@@ -15,6 +15,10 @@ from flax import linen as nn
 from synthesis_in_style_tpu.models.doc_ufcn import DocUFCN
 from synthesis_in_style_tpu.models import doc_ufcn_quant as dq
 
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
+
 
 def test_transpose_up_tap_mapping_is_exact():
     """ConvTranspose(k=2, s=2, VALID) == 1x1 conv (taps as channels) +

@@ -12,11 +12,15 @@ import numpy as np
 import pytest
 
 from synthesis_in_style_tpu.ops.quant import (
+
     conv2d_w8a8,
     int8_conv,
     quantize_per_out_channel,
     quantize_per_sample,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def test_int8_conv_exact_integer_arithmetic():

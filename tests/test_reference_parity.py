@@ -15,9 +15,12 @@ from reference_loader import (
     randomize_bn as _randomize_bn,
 )
 
-pytestmark = pytest.mark.skipif(
-    not REFERENCE.exists(), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not REFERENCE.exists(), reason="reference repo not mounted"
+    ),
+    pytest.mark.slow,  # excluded from the quick lane (-m 'not slow')
+]
 
 
 @pytest.mark.parametrize("variant", ["stylegan2", "swagan"])

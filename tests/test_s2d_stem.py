@@ -13,12 +13,16 @@ import numpy as np
 import pytest
 
 from synthesis_in_style_tpu.models.doc_ufcn import (
+
     DocUFCN,
     _s2d_block_kernel,
     depth_to_space,
     parity_max_pool,
     space_to_depth,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 
 def _models(pixel_shuffle=False, dropout=0.0, n_s2d=1, tail=False):

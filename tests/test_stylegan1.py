@@ -6,9 +6,13 @@ import numpy as np
 import pytest
 
 from synthesis_in_style_tpu.models.stylegan1 import (
+
     ProgressiveDiscriminator,
     StyledGenerator,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 SIZE = 32  # step = 3
 CODE = 64

@@ -7,11 +7,15 @@ import numpy as np
 import pytest
 
 from synthesis_in_style_tpu.models.swagan import (
+
     Discriminator,
     Generator,
     haar_transform,
     inverse_haar_transform,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
 
 SIZE = 32
 STYLE_DIM = 64

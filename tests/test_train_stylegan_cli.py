@@ -2,6 +2,7 @@
 the reference key layout, sample plot written, resume works (reference
 train_stylegan_2.py)."""
 
+import pytest
 import json
 
 import numpy as np
@@ -10,6 +11,10 @@ from PIL import Image
 
 from synthesis_in_style_tpu.cli import train_stylegan_2 as gan_cli
 from synthesis_in_style_tpu.utils.checkpoint import latest_snapshot, load_pytree
+
+pytestmark = pytest.mark.slow  # excluded from the quick lane (-m 'not slow')
+
+
 
 
 def _make_dataset(tmp_path, n=6, size=32):
