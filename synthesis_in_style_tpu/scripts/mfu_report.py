@@ -156,11 +156,157 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
     return {name: (step, (state, batch_data, rng))}
 
 
+def _aux_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
+    """The remaining trainer paths (VERDICT r2 next-round #8): PixelEnsemble
+    (DatasetGAN), adversarial generator, and autoencoder reconstruction."""
+    rng = jax.random.PRNGKey(1)
+
+    if which == "pixel_ensemble":
+        from synthesis_in_style_tpu.models.pixel_classifier import (
+            PixelClassifier,
+            PixelEnsembleClassifier,
+        )
+        from synthesis_in_style_tpu.models.stylegan2 import generator_channels
+        from synthesis_in_style_tpu.updaters.dataset_gan_updater import (
+            create_ensemble_train_state,
+            make_ensemble_train_step,
+        )
+
+        # feature dim = concatenated per-pixel activation channels of the
+        # 256px generator's 14 capture layers (data/dataset_gan_dataset.py
+        # scale_activations), ensemble of 3 like the production config
+        # (configs/dataset_creation/dataset_gan_wpi_stylegan2.yaml). The
+        # reference feeds 4-pixel batches (DataLoader batch_size); on TPU
+        # that is pure dispatch overhead, so the MFU row uses a
+        # device-filling 65536-pixel batch — same math per pixel.
+        channels = generator_channels(2)
+        sizes = [4, 8, 8, 16, 16, 32, 32, 64, 64, 128, 128, 256, 256]
+        dim = channels[4] + sum(channels[s] for s in sizes)
+        classes, members, batch = 3, 3, 65536
+        ensemble = PixelEnsembleClassifier(classes, dim, members)
+        tx = optax.adam(5e-4)
+        state = create_ensemble_train_state(ensemble, tx)
+        step = make_ensemble_train_step(ensemble.model, tx, donate=False)
+        batch_data = {
+            "activations": jnp.zeros((batch, dim), jnp.float32),
+            "label": jnp.zeros((batch,), jnp.int32),
+        }
+        name = f"aux/pixel-ensemble-m{members}-d{dim}/b{batch}px"
+        return {name: (step, (state, batch_data))}
+
+    if which == "adversarial":
+        from synthesis_in_style_tpu.losses.perceptual import (
+            PerceptualAndStyleLoss,
+        )
+        from synthesis_in_style_tpu.models.autoencoder import (
+            ContentAndStyleStyleganAutoencoder,
+            StyleganAutoencoder,
+        )
+        from synthesis_in_style_tpu.models.encoder import WPlusEncoder
+        from synthesis_in_style_tpu.models.stylegan2 import (
+            Discriminator,
+            Generator,
+            generator_channels,
+        )
+        from synthesis_in_style_tpu.updaters.adversarial_updater import (
+            AdversarialTrainState,
+            make_adversarial_steps,
+        )
+
+        size, batch, latent = 256, 8, 512
+        channels = generator_channels(2)
+        gen_kwargs = dict(size=size, style_dim=latent, n_mlp=8)
+        generator = ContentAndStyleStyleganAutoencoder(
+            encoder=WPlusEncoder(size, latent, 6, channels),
+            decoder=Generator(**gen_kwargs),
+        )
+        reconstructor = StyleganAutoencoder(
+            encoder=WPlusEncoder(size, latent, 3, channels),
+            decoder=Generator(**gen_kwargs),
+        )
+        disc = Discriminator(size=size)
+        g_tx = optax.adam(2e-3)
+        d_tx = optax.adam(2e-3)
+        pas = PerceptualAndStyleLoss()
+        steps = make_adversarial_steps(
+            generator, disc, reconstructor, g_tx, d_tx, pas, donate=False
+        )
+        key = jax.random.PRNGKey(0)
+        binary = jnp.zeros((batch, size, size, 3))
+        style = jnp.zeros((batch, size, size, 3))
+        g_vars = generator.init(
+            {"params": key, "noise": key}, binary[:1], style[:1], train=False
+        )
+        r_vars = reconstructor.init(
+            {"params": key, "noise": key}, style[:1], train=False
+        )
+        d_vars = disc.init(key, style[:1])
+        state = AdversarialTrainState(
+            g_params=g_vars["params"],
+            g_batch_stats=g_vars.get("batch_stats", {}),
+            g_noises=g_vars.get("noises", {}),
+            d_params=d_vars["params"],
+            reconstructor_variables=r_vars,
+            g_opt=g_tx.init(g_vars["params"]),
+            d_opt=d_tx.init(d_vars["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return {
+            f"aux/adversarial-g_step@{size}px/b{batch}": (
+                steps["g_step"], (state, binary, style, rng)
+            ),
+            f"aux/adversarial-d_step@{size}px/b{batch}": (
+                steps["d_step"], (state, binary, style, rng)
+            ),
+        }
+
+    if which == "autoencoder":
+        from synthesis_in_style_tpu.losses.lpips import LPIPS
+        from synthesis_in_style_tpu.models.autoencoder import (
+            StyleganAutoencoder,
+        )
+        from synthesis_in_style_tpu.models.encoder import WPlusEncoder
+        from synthesis_in_style_tpu.models.stylegan2 import (
+            Generator,
+            generator_channels,
+        )
+        from synthesis_in_style_tpu.updaters.autoencoder_updater import (
+            create_ae_train_state,
+            make_autoencoder_train_step,
+        )
+
+        size, batch, latent = 256, 8, 512
+        ae = StyleganAutoencoder(
+            encoder=WPlusEncoder(size, latent, 3, generator_channels(2)),
+            decoder=Generator(size=size, style_dim=latent, n_mlp=8),
+        )
+        state, tx = create_ae_train_state(
+            ae, jax.random.PRNGKey(0), size, optax.adam(1e-3)
+        )
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # random-backbone LPIPS is fine
+            # for an MFU row — same FLOPs as the calibrated one
+            lpips = LPIPS(net="vgg")
+        step = make_autoencoder_train_step(ae, tx, lpips=lpips, donate=False)
+        batch_data = {
+            "input_image": jnp.zeros((batch, size, size, 3)),
+            "output_image": jnp.zeros((batch, size, size, 3)),
+        }
+        name = f"aux/autoencoder+lpips@{size}px/b{batch}"
+        return {name: (step, (state, batch_data, rng))}
+
+    raise ValueError(which)
+
+
 def build_workloads(names) -> Dict[str, Tuple[Callable, tuple]]:
     out: Dict[str, Tuple[Callable, tuple]] = {}
     for n in names:
         if n == "gan":
             out.update(_gan_steps())
+        elif n in ("pixel_ensemble", "adversarial", "autoencoder"):
+            out.update(_aux_steps(n))
         else:
             out.update(_seg_steps(n))
     return out

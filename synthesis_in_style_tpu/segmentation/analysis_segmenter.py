@@ -382,7 +382,7 @@ class AnalysisSegmenter:
     def _get_fused_page_fn(
         self,
         padded_shape: Tuple[int, int, int],
-        n_patches: int,
+        n_rows: int,
         output: str = "probs",
     ):
         """One jitted program for a whole page tiling: extract all patches
@@ -398,10 +398,17 @@ class AnalysisSegmenter:
         output="classes" appends a device argmax and returns a (hp, wp)
         uint8 class-id canvas instead of (hp, wp, nc) f32 confidences —
         num_classes*4x fewer device→host bytes for consumers that argmax
-        anyway (evaluation, bbox/contour extraction)."""
+        anyway (evaluation, bbox/contour extraction).
+
+        `n_rows` is the (static) padded tops length; the actual patch count
+        is a TRACED argument of the returned fn, so pages with different
+        tilings can share one compiled program (mixed-size batched serving,
+        segment_images) — padding patches are masked to the assembly
+        identity, which keeps results bit-equal to the page's own exact
+        tiling."""
         key = (
             padded_shape,
-            n_patches,
+            n_rows,
             self.batch_size,
             self._fused_assembly,
             self._area_filter_active(),
@@ -419,15 +426,16 @@ class AnalysisSegmenter:
         p = self.patch_size
         b = self.batch_size
         nc = self.segmenter_config.num_classes
-        n_batches = math.ceil(n_patches / b)
+        assert n_rows % b == 0, (n_rows, b)
+        n_batches = n_rows // b
         mode = self._fused_assembly
         hp, wp, channels = padded_shape
         lax = jax.lax
 
         @jax.jit
-        def fused(page, tops, min_confidence, min_contour_area):
-            # page: (hp, wp, channels) uint8; tops: (n_batches*b, 2) int32
-            # (top, left) per patch, zero-filled past n_patches.
+        def fused(page, tops, n_patches, min_confidence, min_contour_area):
+            # page: (hp, wp, channels) uint8; tops: (n_rows, 2) int32
+            # (top, left) per patch, zero-filled past n_patches (traced).
             # The canvas init derives from `page` so its type matches the
             # loop-carried canvas under shard_map (mesh serving): values
             # computed from sharded operands carry a device-varying type a
@@ -483,19 +491,21 @@ class AnalysisSegmenter:
     def _get_fused_pages_fn(
         self,
         padded_shape: Tuple[int, int, int],
-        n_patches: int,
+        n_rows: int,
         n_pages: int,
         output: str = "probs",
     ):
-        """Throughput mode: N same-tiling pages as ONE dispatch. `lax.map`
-        over the single-page fused program keeps its slice/update-slice
-        patch scatter intact (a vmap would lower them to gather/scatter);
-        the device runs the pages back-to-back with zero host round-trips
-        in between, so dispatch/transfer latency is paid once per group
-        instead of once per page."""
+        """Throughput mode: N pages as ONE dispatch. `lax.map` over the
+        single-page fused program keeps its slice/update-slice patch
+        scatter intact (a vmap would lower them to gather/scatter); the
+        device runs the pages back-to-back with zero host round-trips in
+        between, so dispatch/transfer latency is paid once per group
+        instead of once per page. Per-page patch counts are traced, so the
+        pages in one dispatch may have DIFFERENT tilings (mixed-size
+        serving) as long as they share the padded canvas + tops shape."""
         key = (
             padded_shape,
-            n_patches,
+            n_rows,
             self.batch_size,
             self._fused_assembly,
             self._area_filter_active(),
@@ -506,13 +516,16 @@ class AnalysisSegmenter:
         fn = self._fused_pages_fns.get(key)
         if fn is not None:
             return fn
-        single = self._get_fused_page_fn(padded_shape, n_patches, output)
+        single = self._get_fused_page_fn(padded_shape, n_rows, output)
 
-        def mapped(pages, tops, min_confidence, min_contour_area):
-            # pages: (N, hp, wp, C) uint8; tops: (N, n_batches*b, 2) int32
+        def mapped(pages, tops, n_patches, min_confidence, min_contour_area):
+            # pages: (N, hp, wp, C) uint8; tops: (N, n_rows, 2) int32;
+            # n_patches: (N,) int32
             return jax.lax.map(
-                lambda pt: single(pt[0], pt[1], min_confidence, min_contour_area),
-                (pages, tops),
+                lambda pt: single(
+                    pt[0], pt[1], pt[2], min_confidence, min_contour_area
+                ),
+                (pages, tops, n_patches),
             )
 
         if self.mesh is not None:
@@ -526,7 +539,7 @@ class AnalysisSegmenter:
                 shard_map(
                     mapped,
                     mesh=self.mesh,
-                    in_specs=(P(axis), P(axis), P(), P()),
+                    in_specs=(P(axis), P(axis), P(axis), P(), P()),
                     out_specs=P(axis),
                 )
             )
@@ -541,15 +554,22 @@ class AnalysisSegmenter:
         images: List[Image.Image],
         pages_per_batch: int = 4,
         output: str = "probs",
+        bucket_quantum: Optional[int] = 0,
     ) -> List[np.ndarray]:
-        """Batched whole-page serving: segment many pages, grouping pages
-        with identical tiling into fused multi-page dispatches of
-        `pages_per_batch` (short final chunks are padded by repetition and
-        the padding results dropped). Requires `fused_page_inference=True`;
-        otherwise falls back to per-page `segment_image`. Results are
-        returned in input order. The reference has no batched serving
-        entry point (analysis_segmenter.py:176-188 is strictly one page
-        per call)."""
+        """Batched whole-page serving: segment many pages in fused
+        multi-page dispatches of `pages_per_batch` (short final chunks are
+        padded by repetition and the padding results dropped). Pages of
+        DIFFERENT sizes batch together: each page's canvas is padded up to
+        a bucket size (its tiling extent rounded up to `bucket_quantum`
+        pixels; default the patch size) and its true patch count rides as
+        a traced scalar, so the result of every page is bit-equal to its
+        own exact tiling while one compiled program serves the whole
+        bucket. `bucket_quantum=None` disables bucketing (exact-tiling
+        groups only). Requires `fused_page_inference=True`; otherwise
+        falls back to per-page `segment_image`. Results are returned in
+        input order. The reference has no batched serving entry point
+        (analysis_segmenter.py:176-188 is strictly one page per call),
+        and real scan collections are mixed-size."""
         if not self.fused_page_inference or pages_per_batch <= 1:
             if output == "classes":
                 return [self.segment_image_classes(image) for image in images]
@@ -558,6 +578,8 @@ class AnalysisSegmenter:
             # each device gets an equal page shard
             n_dev = self.mesh.devices.size
             pages_per_batch = math.ceil(pages_per_batch / n_dev) * n_dev
+        if bucket_quantum == 0:
+            bucket_quantum = self.patch_size
 
         groups: Dict[tuple, List[tuple]] = {}
         for idx, image in enumerate(images):
@@ -568,8 +590,14 @@ class AnalysisSegmenter:
             bboxes = self.calculate_bboxes_for_patches(image.width, image.height)
             hp = max(bb.bottom for bb in bboxes)
             wp = max(bb.right for bb in bboxes)
-            sig = (hp, wp, arr.shape[2], len(bboxes))
-            groups.setdefault(sig, []).append((idx, arr, bboxes))
+            if bucket_quantum:
+                q = bucket_quantum
+                hp = math.ceil(hp / q) * q
+                wp = math.ceil(wp / q) * q
+                sig = (hp, wp, arr.shape[2])
+            else:
+                sig = (hp, wp, arr.shape[2], len(bboxes))
+            groups.setdefault(sig, []).append((idx, arr, bboxes, hp, wp))
 
         results: List[Optional[np.ndarray]] = [None] * len(images)
         hyperparams = self._hyperparam_args()
@@ -577,14 +605,20 @@ class AnalysisSegmenter:
         def drain(entry):
             canvases, chunk = entry
             canvases = np.asarray(canvases)
-            for canvas, (idx, arr, _) in zip(canvases, chunk):
+            for canvas, (idx, arr, *_rest) in zip(canvases, chunk):
                 h, w = arr.shape[:2]
                 results[idx] = canvas[:h, :w]
 
-        for (hp, wp, ch, n), members in groups.items():
-            n_pad = math.ceil(n / self.batch_size) * self.batch_size
+        for sig, members in groups.items():
+            hp = max(m[3] for m in members)
+            wp = max(m[4] for m in members)
+            ch = members[0][1].shape[2]
+            n_rows = max(
+                math.ceil(len(m[2]) / self.batch_size) * self.batch_size
+                for m in members
+            )
             fused = self._get_fused_pages_fn(
-                (hp, wp, ch), n, pages_per_batch, output
+                (hp, wp, ch), n_rows, pages_per_batch, output
             )
             # Async dispatch: keep a couple of groups in flight so the
             # device works on group i+1 while the host fetches group i.
@@ -592,18 +626,25 @@ class AnalysisSegmenter:
             for start in range(0, len(members), pages_per_batch):
                 chunk = members[start : start + pages_per_batch]
                 pages = np.zeros((pages_per_batch, hp, wp, ch), dtype=np.uint8)
-                tops = np.zeros((pages_per_batch, n_pad, 2), dtype=np.int32)
-                for j, (_, arr, bboxes) in enumerate(chunk):
+                tops = np.zeros((pages_per_batch, n_rows, 2), dtype=np.int32)
+                counts = np.zeros((pages_per_batch,), dtype=np.int32)
+                for j, (_, arr, bboxes, *_rest) in enumerate(chunk):
                     h, w = arr.shape[:2]
+                    n = len(bboxes)
                     pages[j, :h, :w] = arr
                     tops[j, :n, 0] = [bb.top for bb in bboxes]
                     tops[j, :n, 1] = [bb.left for bb in bboxes]
+                    counts[j] = n
                 for j in range(len(chunk), pages_per_batch):
                     pages[j] = pages[0]
                     tops[j] = tops[0]
+                    counts[j] = counts[0]
                 in_flight.append(
                     (
-                        fused(jnp.asarray(pages), jnp.asarray(tops), *hyperparams),
+                        fused(
+                            jnp.asarray(pages), jnp.asarray(tops),
+                            jnp.asarray(counts), *hyperparams,
+                        ),
                         chunk,
                     )
                 )
@@ -633,9 +674,12 @@ class AnalysisSegmenter:
         tops = np.zeros((n_pad, 2), dtype=np.int32)
         tops[:n, 0] = [bb.top for bb in bboxes]
         tops[:n, 1] = [bb.left for bb in bboxes]
-        fused = self._get_fused_page_fn(page.shape, n, output)
+        fused = self._get_fused_page_fn(page.shape, n_pad, output)
         canvas = np.asarray(
-            fused(jnp.asarray(page), jnp.asarray(tops), *self._hyperparam_args())
+            fused(
+                jnp.asarray(page), jnp.asarray(tops), jnp.int32(n),
+                *self._hyperparam_args(),
+            )
         )
         return canvas[:h, :w]
 

@@ -188,3 +188,50 @@ def test_augment_dataset_cli(tmp_path):
     main(args3)
     written = sorted(p.name for p in preview_only.glob("**/*.png"))
     assert written == ["a_preview.png", "b_preview.png"]
+
+
+def test_latent_stats_suite_writes_reference_artifact_set(tmp_path):
+    """The --stats battery (reference plots_and_stats,
+    scripts/analyze_latent_code.py:236-289): parallel-coordinate plots,
+    Spearman heatmaps, Shapiro-Wilk maps."""
+    import numpy as np
+
+    from synthesis_in_style_tpu.scripts.analyze_latent_code import (
+        latent_stats_suite,
+    )
+
+    rng = np.random.default_rng(0)
+    codes = rng.normal(size=(40, 2, 8)).astype("f4")
+    latent_stats_suite(codes, tmp_path, max_samples=30, max_dims=8,
+                       dims_per_plot=4)
+    viz = tmp_path / "visualizations"
+    res = tmp_path / "test_results"
+    assert (viz / "plot_a_0-4_0.png").exists()
+    assert (viz / "plot_a_4-8_1.png").exists()
+    assert (viz / "plot_b_0.png").exists()  # per-dim across slices
+    assert (res / "correlation_c_0.png").exists()
+    assert (res / "correlation_c_1.png").exists()
+    for name in ("shapiro_wilk_sliced", "shapiro_wilk_per_code",
+                 "shapiro_wilk_per_sample"):
+        assert (res / f"{name}.png").exists()
+
+
+def test_reconstructed_cdf_self_check(tmp_path):
+    """Inverse-CDF resampling reproduces the source distribution (the
+    --check-reconstructed-cdf mode's premise) and the overlay histogram
+    renders."""
+    import numpy as np
+
+    from synthesis_in_style_tpu.scripts.analyze_latent_code import (
+        create_and_save_histogram,
+        inverse_cdf_sample,
+    )
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(2.0, 0.5, 5000).astype("f4")
+    resampled = inverse_cdf_sample(data, 5000, rng)
+    assert abs(resampled.mean() - data.mean()) < 0.05
+    assert abs(resampled.std() - data.std()) < 0.05
+    out = tmp_path / "h.png"
+    create_and_save_histogram(data, out, check_reconstructed_cdf=True)
+    assert out.exists() and out.stat().st_size > 0
