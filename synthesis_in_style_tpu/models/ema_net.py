@@ -145,7 +145,13 @@ class ResNetExtractor(nn.Module):
     stride: int = 8
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, train: bool = False, capture: Optional[dict] = None
+    ) -> Array:
+        """`capture`: pass a dict to collect per-stage outputs (stem,
+        layer1..4) — consumed by scripts/seg_stage_bisect.py, where XLA's
+        dead-code elimination turns "loss of stage k" into an exact prefix
+        program; no effect on the normal path."""
         layers = RESNET_LAYERS[self.n_layers]
         # deep stem: 3x3 s2 -> 3x3 -> 3x3 (reference conv1 Sequential :63-71)
         x = _conv(64, 3, 2, name="stem_conv1")(x)
@@ -158,11 +164,19 @@ class ResNetExtractor(nn.Module):
         x = _bn(train, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if capture is not None:
+            capture["stem"] = x
 
         x = ResNetStage(64, layers[0], name="layer1")(x, train=train)
+        if capture is not None:
+            capture["layer1"] = x
         x = ResNetStage(128, layers[1], stride=2, name="layer2")(x, train=train)
+        if capture is not None:
+            capture["layer2"] = x
         if self.stride == 16:
             x = ResNetStage(256, layers[2], stride=2, name="layer3")(x, train=train)
+            if capture is not None:
+                capture["layer3"] = x
             x = ResNetStage(
                 512, layers[3], stride=1, dilation=2, grids=[1, 2, 4], name="layer4"
             )(x, train=train)
@@ -170,11 +184,15 @@ class ResNetExtractor(nn.Module):
             x = ResNetStage(
                 256, layers[2], stride=1, dilation=2, name="layer3"
             )(x, train=train)
+            if capture is not None:
+                capture["layer3"] = x
             x = ResNetStage(
                 512, layers[3], stride=1, dilation=4, grids=[1, 2, 4], name="layer4"
             )(x, train=train)
         else:
             raise RuntimeError(f"unknown stride: {self.stride}")
+        if capture is not None:
+            capture["layer4"] = x
         return x
 
 
@@ -267,13 +285,14 @@ class EMANet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, mu: Optional[Array] = None, train: bool = False
+        self, x: Array, mu: Optional[Array] = None, train: bool = False,
+        capture: Optional[dict] = None,
     ) -> Any:
         if mu is None:
             mu = init_emau_mu(self.emau_channels, self.emau_k)
         size = x.shape[1:3]
         x = ResNetExtractor(self.n_layers, self.stride, name="extractor")(
-            x, train=train
+            x, train=train, capture=capture
         )
         x = _conv(self.emau_channels, 3, name="fc0_conv")(x)
         x = _bn(train, "fc0_bn")(x)
@@ -281,6 +300,8 @@ class EMANet(nn.Module):
         x, mu_batch = EMAU(
             self.emau_channels, self.emau_k, self.stage_num, name="emau"
         )(x, mu, train=train)
+        if capture is not None:
+            capture["emau"] = x
         x = _conv(256, 3, name="fc1_conv")(x)
         x = _bn(train, "fc1_bn")(x)
         x = nn.relu(x)
@@ -288,6 +309,8 @@ class EMANet(nn.Module):
         x = nn.Conv(self.num_classes, (1, 1), name="fc2")(x)
 
         pred = resize_bilinear_align_corners(x, size[0], size[1])
+        if capture is not None:
+            capture["head"] = pred
         if train:
             return pred, mu_batch
         return pred

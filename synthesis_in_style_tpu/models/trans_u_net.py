@@ -413,7 +413,10 @@ class VisionTransformer(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False,
+                 capture: Optional[dict] = None) -> Array:
+        # `capture`: per-stage outputs for scripts/seg_stage_bisect.py
+        # (XLA DCE makes "loss of stage k" an exact prefix program)
         config = self.config
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
@@ -433,6 +436,8 @@ class VisionTransformer(nn.Module):
                 config["resnet"]["width_factor"],
                 name="hybrid_model",
             )(x)
+            if capture is not None:
+                capture["r50_stem"] = x
         else:
             patch = config["patches"]["size"]
         x = nn.Conv(
@@ -448,6 +453,8 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos_emb
         x = nn.Dropout(tconf["dropout_rate"], deterministic=not train)(x)
+        if capture is not None:
+            capture["embeddings"] = x
 
         # ---- encoder ----
         for i in range(tconf["num_layers"]):
@@ -460,6 +467,8 @@ class VisionTransformer(nn.Module):
                 name=f"encoderblock_{i}",
             )(x, train=train)
         x = nn.LayerNorm(epsilon=1e-6, name="encoder_norm")(x)
+        if capture is not None:
+            capture["encoder"] = x
 
         # ---- decoder cup (reference DecoderCup :331-374) ----
         h = w = int(math.sqrt(x.shape[1]))
@@ -476,12 +485,17 @@ class VisionTransformer(nn.Module):
             if features is not None and i < n_skip and skip_channels[i] != 0:
                 skip = features[i]
             x = DecoderBlock(ch, name=f"decoder_block_{i}")(x, skip, train=train)
+            if capture is not None:
+                capture[f"decoder_{i}"] = x
 
         # ---- segmentation head (reference :324-329) ----
-        return nn.Conv(
+        out = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
             name="segmentation_head",
         )(x)
+        if capture is not None:
+            capture["head"] = out
+        return out
 
 
 # ---------------------------------------------------------------------------
