@@ -1,0 +1,55 @@
+"""Trained-quality capstone gate (VERDICT r3 #6).
+
+No real WPI scans or trained reference checkpoints exist in this
+environment, so trained-parity mIoU cannot be validated against the paper.
+The stand-in is the full production chain on a LEARNABLE synthetic fixture
+(documented in MEASUREMENTS.md "Round 3 capstone"): train a StyleGAN2 on
+synthetic document pages (printed-line blocks left, handwriting squiggles
+right), cluster + auto-label its activations by the fixture's layout prior,
+synthesize a labelled dataset, train a DocUFCN, and sweep-evaluate.
+
+This test asserts the capstone's committed quality floors from the
+results.json the chain produces. Point SIS_CAPSTONE_RESULTS at a fresh
+results.json to re-gate a rerun; without it the test validates the
+committed snapshot in tests/data/capstone_results.json.
+"""
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+DEFAULT = Path(__file__).parent / "data" / "capstone_results.json"
+
+
+def _load():
+    path = Path(os.environ.get("SIS_CAPSTONE_RESULTS", DEFAULT))
+    if not path.exists():
+        pytest.skip(f"no capstone results at {path}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_capstone_no_class_scores_zero():
+    results = _load()
+    best = max(
+        results["runs"],
+        key=lambda run: run["average_dice_scores"]["weighted_text_avg"]["score"],
+    )
+    dice = best["average_dice_scores"]
+    assert dice["background"]["score"] > 0.85
+    # the paper pipeline's point: TEXT classes are learnable from purely
+    # synthetic labels — round 2's random-weight capstone scored 0.0 here
+    assert dice["printed_text"]["score"] > 0.1
+    assert dice["handwritten_text"]["score"] > 0.0
+
+
+def test_capstone_weighted_quality_floor():
+    results = _load()
+    best = max(
+        results["runs"],
+        key=lambda run: run["average_dice_scores"]["weighted_avg"]["score"],
+    )
+    assert best["average_dice_scores"]["weighted_avg"]["score"] > 0.75
+    assert best["average_iou_scores"]["weighted_avg"]["score"] > 0.65
