@@ -2,11 +2,13 @@
 numerically faithful to float32 (demodulation statistics remain f32 inside
 ModulatedConv2d)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_bf16_generator_matches_f32():
     from synthesis_in_style_tpu.models.stylegan2 import Generator
 

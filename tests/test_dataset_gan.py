@@ -105,6 +105,7 @@ def test_torch_pixel_classifier_conversion():
     assert out.shape == (4, k)
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_dataset_gan_end_to_end(tmp_path):
     """Full DatasetGAN variant: activation CLI -> labels -> ensemble train
     CLI -> segmenter-based dataset synthesis."""

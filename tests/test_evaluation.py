@@ -102,6 +102,7 @@ def test_psnr_ssim_evaluator_normalizes():
 
 # ---------------- sweep CLI end-to-end --------------------------------------
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_analyze_image_segments_cli(tmp_path):
     import yaml
 

@@ -131,6 +131,7 @@ def test_metrics_absent_class_scores_one():
 
 # ---------------- train CLI -> inference end-to-end -------------------------
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_train_cli_and_patch_inference(tmp_path):
     from synthesis_in_style_tpu.cli import train as train_cli
     from synthesis_in_style_tpu.segmentation.analysis_segmenter import (

@@ -241,6 +241,7 @@ def test_transunet_style_loss_combination():
     )
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_standard_train_step_bf16_compute_keeps_f32_masters():
     """Mixed precision: bf16 fwd/bwd, float32 master params and batch stats
     (the seg-train analogue of the GAN updater's compute_dtype)."""
@@ -273,6 +274,7 @@ def test_standard_train_step_bf16_compute_keeps_f32_masters():
     assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_doc_ufcn_learns_toy_segmentation_to_high_iou():
     """End-to-end learnability: train the production step on a toy
     rectangle-segmentation task and check IoU on the training distribution —
@@ -310,6 +312,7 @@ def test_doc_ufcn_learns_toy_segmentation_to_high_iou():
     assert inter / union > 0.9, inter / union
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_dropout_rng_impl_rbg_trains_and_differs_from_threefry():
     """`dropout_rng_impl="rbg"` routes the dropout stream through the
     hardware-RNG key impl (updaters/segmentation_updater._dropout_key). The
@@ -352,6 +355,7 @@ def test_dropout_rng_impl_rbg_trains_and_differs_from_threefry():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_docufcn_remat_is_numerically_identical():
     """remat=True only changes the backward-pass schedule (recompute vs
     saved residuals); with the same rng the loss and one-step parameter

@@ -176,6 +176,7 @@ def test_minibatch_stddev():
     assert float(jnp.max(y0[..., -1])) < 1e-3
 
 
+@pytest.mark.slow  # >20s on the 1-core host; full lane only
 def test_generator_grad_flows():
     gen = Generator(size=16, style_dim=32, n_mlp=2)
     z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
