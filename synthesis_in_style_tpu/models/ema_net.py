@@ -64,6 +64,108 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
     )
 
 
+# ---------------------------------------------------------------------------
+# space-to-depth stem (round-3 bisect: the stem is ~20% of the train step at
+# only ~32% of the HBM roofline — the same low-channel-at-high-resolution
+# signature the DocUFCN s2d stem converted into 1.46x). All transforms are
+# EXACT re-lowerings with the identical parameter tree; packing follows
+# models/doc_ufcn.py `space_to_depth` (channel index (2a+b)*C + c).
+# ---------------------------------------------------------------------------
+
+def _s2d_stem_conv1_kernel(w: Array) -> Array:
+    """(3,3,Ci,Co) stride-2 pad-1 conv -> (3,3,4Ci,4Co) stride-2 conv on
+    the s2d input that emits the OUTPUT in s2d packing too. Derivation:
+    out128[2y'+a] reads img rows 4y'+2a+dy; in block/phase coords that is
+    kernel tap e=floor((2a+dy)/2) (+1), input phase (2a+dy) mod 2 — padding
+    must be (1,0) per spatial dim."""
+    kh, kw, ci, co = w.shape
+    assert kh == 3 and kw == 3
+    K = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for ti, dy in enumerate((-1, 0, 1)):
+                for tj, dx in enumerate((-1, 0, 1)):
+                    ry, rx = 2 * a + dy, 2 * b + dx
+                    ey, py = ry // 2, ry % 2
+                    ex, px = rx // 2, rx % 2
+                    K = K.at[
+                        ey + 1,
+                        ex + 1,
+                        (2 * py + px) * ci:(2 * py + px + 1) * ci,
+                        (2 * a + b) * co:(2 * a + b + 1) * co,
+                    ].add(w[ti, tj])
+    return K
+
+
+class _S2DStemConv(nn.Module):
+    """Stem conv in s2d layout with the exact param shape of the `_conv` it
+    replaces. mode='entry': the stride-2 3x3 input conv (s2d in, s2d out);
+    mode='block': a stride-1 3x3 conv applied via the DocUFCN block
+    kernel (s2d in, s2d out)."""
+
+    features: int
+    in_features: int
+    mode: str = "block"
+
+    @nn.compact
+    def __call__(self, xq: Array) -> Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+        )
+        from synthesis_in_style_tpu.models.doc_ufcn import _s2d_block_kernel
+
+        if self.mode == "entry":
+            K = _s2d_stem_conv1_kernel(kernel.astype(xq.dtype))
+            return jax.lax.conv_general_dilated(
+                xq, K, window_strides=(2, 2), padding=((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        K, step = _s2d_block_kernel(kernel.astype(xq.dtype), 1)
+        return jax.lax.conv_general_dilated(
+            xq, K, window_strides=(1, 1),
+            padding=((step, step), (step, step)),
+            rhs_dilation=(step, step),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def _s2d_bn(xq: Array, train: bool, name: str) -> Array:
+    """BatchNorm on an s2d tensor with stats per ORIGINAL channel: fold the
+    4 phase groups into the spatial axis so the standard nn.BatchNorm sees
+    the exact same value set (and parameter/stat tree) as the unpacked
+    path."""
+    b, h, w, c4 = xq.shape
+    c = c4 // 4
+    xr = xq.reshape(b, h, w * 4, c)
+    xr = _bn(train, name)(xr)
+    return xr.reshape(b, h, w, c4)
+
+
+def _s2d_maxpool_3x3_s2(xq: Array) -> Array:
+    """3x3/stride-2/pad-1 maxpool of the logical (2H,2W,C) tensor computed
+    from its s2d packing; emits the UNPACKED (H,W,C) result (what layer1
+    consumes). Row taps r=2y+d, d in {-1,0,1} -> (block,phase) in
+    {(y-1,1),(y,0),(y,1)}."""
+    b, h, w, c4 = xq.shape
+    c = c4 // 4
+    neg = jnp.finfo(xq.dtype).min
+    xp = jnp.pad(
+        xq, ((0, 0), (1, 0), (1, 0), (0, 0)), constant_values=neg
+    )
+    taps = [(-1, 1), (0, 0), (0, 1)]
+    out = None
+    for by, py in taps:
+        for bx, px in taps:
+            sl = xp[
+                :, 1 + by:1 + by + h, 1 + bx:1 + bx + w,
+                (2 * py + px) * c:(2 * py + px + 1) * c,
+            ]
+            out = sl if out is None else jnp.maximum(out, sl)
+    return out
+
+
 def resize_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
     """Bilinear resize with align_corners=True (torch F.interpolate parity,
     reference network.py:296). NHWC."""
@@ -143,6 +245,7 @@ class ResNetExtractor(nn.Module):
 
     n_layers: int = 50
     stride: int = 8
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(
@@ -153,17 +256,42 @@ class ResNetExtractor(nn.Module):
         dead-code elimination turns "loss of stage k" into an exact prefix
         program; no effect on the normal path."""
         layers = RESNET_LAYERS[self.n_layers]
-        # deep stem: 3x3 s2 -> 3x3 -> 3x3 (reference conv1 Sequential :63-71)
-        x = _conv(64, 3, 2, name="stem_conv1")(x)
-        x = _bn(train, "stem_bn1")(x)
-        x = nn.relu(x)
-        x = _conv(64, 3, name="stem_conv2")(x)
-        x = _bn(train, "stem_bn2")(x)
-        x = nn.relu(x)
-        x = _conv(128, 3, name="stem_conv3")(x)
-        x = _bn(train, "bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.s2d_stem:
+            # exact space-to-depth re-lowering of the deep stem: identical
+            # parameter/stat tree, bit-level-equivalent math (see the
+            # helpers above + tests/test_s2d_stem.py); the whole stem runs
+            # at half spatial resolution with 4x the channels, which packs
+            # the TPU's 128-wide lanes the 64-channel 3x3s cannot
+            from synthesis_in_style_tpu.models.doc_ufcn import (
+                space_to_depth,
+            )
+
+            xq = space_to_depth(x)
+            xq = _S2DStemConv(64, 3, mode="entry", name="stem_conv1")(xq)
+            xq = _s2d_bn(xq, train, "stem_bn1")
+            xq = nn.relu(xq)
+            xq = _S2DStemConv(64, 64, name="stem_conv2")(xq)
+            xq = _s2d_bn(xq, train, "stem_bn2")
+            xq = nn.relu(xq)
+            xq = _S2DStemConv(128, 64, name="stem_conv3")(xq)
+            xq = _s2d_bn(xq, train, "bn1")
+            xq = nn.relu(xq)
+            x = _s2d_maxpool_3x3_s2(xq)
+        else:
+            # deep stem: 3x3 s2 -> 3x3 -> 3x3 (reference conv1 Sequential
+            # :63-71)
+            x = _conv(64, 3, 2, name="stem_conv1")(x)
+            x = _bn(train, "stem_bn1")(x)
+            x = nn.relu(x)
+            x = _conv(64, 3, name="stem_conv2")(x)
+            x = _bn(train, "stem_bn2")(x)
+            x = nn.relu(x)
+            x = _conv(128, 3, name="stem_conv3")(x)
+            x = _bn(train, "bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
         if capture is not None:
             capture["stem"] = x
 
@@ -266,6 +394,7 @@ class EMANet(nn.Module):
     stage_num: int = 3
     emau_channels: int = 512
     emau_k: int = 64
+    s2d_stem: bool = False  # exact stem re-lowering, same param tree
 
     def segmenter_config(
         self,
@@ -291,9 +420,9 @@ class EMANet(nn.Module):
         if mu is None:
             mu = init_emau_mu(self.emau_channels, self.emau_k)
         size = x.shape[1:3]
-        x = ResNetExtractor(self.n_layers, self.stride, name="extractor")(
-            x, train=train, capture=capture
-        )
+        x = ResNetExtractor(
+            self.n_layers, self.stride, self.s2d_stem, name="extractor"
+        )(x, train=train, capture=capture)
         x = _conv(self.emau_channels, 3, name="fc0_conv")(x)
         x = _bn(train, "fc0_bn")(x)
         x = nn.relu(x)

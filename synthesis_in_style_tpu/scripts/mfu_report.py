@@ -109,10 +109,13 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
         )
         tag = ("+s2d+tail" if tail else "+s2d") if s2d else ""
         name = f"seg/docufcn@{size}px/b{batch}/bf16+rbg{tag}"
-    elif which == "emanet":
+    elif which in ("emanet", "emanet-s2d"):
         from synthesis_in_style_tpu.models.ema_net import EMANet
 
-        model = EMANet(num_classes=classes, n_layers=50, stride=8)
+        s2d = which == "emanet-s2d"
+        model = EMANet(
+            num_classes=classes, n_layers=50, stride=8, s2d_stem=s2d
+        )
         state = create_seg_train_state(
             model, jax.random.PRNGKey(0), size, tx,
             extra=model.init_mu(seed=0),
@@ -120,7 +123,8 @@ def _seg_steps(which: str) -> Dict[str, Tuple[Callable, tuple]]:
         step = make_emanet_train_step(
             model, tx, em_mom=0.9, donate=False, compute_dtype="bfloat16"
         )
-        name = f"seg/emanet-r50@{size}px/b{batch}/bf16"
+        tag = "+s2d" if s2d else ""
+        name = f"seg/emanet-r50@{size}px/b{batch}/bf16{tag}"
     elif which.startswith("transunet"):
         from synthesis_in_style_tpu.models.trans_u_net import (
             VIT_CONFIGS,

@@ -31,6 +31,9 @@ class EMANetTrainBuilder(BaseTrainBuilder):
             num_classes=self.config["num_classes"],
             n_layers=self.config.get("n_layers", 50),
             stride=self.config.get("stride", 8),
+            # exact space-to-depth stem re-lowering (config key `s2d_stem`,
+            # same parameter tree/checkpoints — tests/test_s2d_stem.py)
+            s2d_stem=bool(self.config.get("s2d_stem", False)),
         )
 
     def _initial_extra(self):

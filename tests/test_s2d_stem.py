@@ -204,3 +204,99 @@ def test_dropout_path_runs():
         rngs={"dropout": jax.random.PRNGKey(3)},
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------- EMANet s2d stem (round 3) ----------------
+
+def test_emanet_s2d_stem_exact():
+    """EMANet(s2d_stem=True) must be an EXACT re-lowering with the identical
+    parameter tree (round-3 bisect: the deep stem is 20% of the step at 32%
+    HBM utilization). Pinned at the extractor boundary — stem output equal
+    to f32 summation-order noise (<2e-5) through to layer4, batch stats
+    equal, and grads through the stem equal; the full-network logits only
+    get a loose pin because EMAU's iterative softmax/l2norm chain amplifies
+    1e-6 perturbations ~1000x (verified during development: stem diff
+    8e-7 -> logits diff 1.6e-3 with IDENTICAL downstream weights)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synthesis_in_style_tpu.models.ema_net import (
+        EMANet,
+        ResNetExtractor,
+        init_emau_mu,
+    )
+
+    size, batch = 64, 2
+    base = ResNetExtractor(50, 8)
+    s2d = ResNetExtractor(50, 8, s2d_stem=True)
+    rng = {"params": jax.random.PRNGKey(0)}
+    x0 = jnp.zeros((1, size, size, 3))
+    v_base = base.init(rng, x0, train=False)
+    v_s2d = s2d.init(rng, x0, train=False)
+    assert jax.tree_util.tree_structure(v_base) == jax.tree_util.tree_structure(v_s2d)
+    for a, b in zip(jax.tree_util.tree_leaves(v_base),
+                    jax.tree_util.tree_leaves(v_s2d)):
+        assert a.shape == b.shape
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (batch, size, size, 3))
+
+    # eval: per-stage equality with the SAME variables
+    cap_b, cap_s = {}, {}
+    base.apply(v_base, x, train=False, capture=cap_b)
+    s2d.apply(v_base, x, train=False, capture=cap_s)
+    for k in ("stem", "layer1", "layer4"):
+        np.testing.assert_allclose(
+            np.asarray(cap_s[k]), np.asarray(cap_b[k]), atol=2e-5, rtol=1e-4,
+            err_msg=k,
+        )
+
+    # train mode: outputs + updated BN stats equal. Train-mode BN
+    # normalizes by the actual batch variance at every one of the ~50
+    # layers, so the stem's ~1e-6 summation noise amplifies to ~3e-3 by
+    # layer4 (eval above, with fixed running stats, stays at 2.5e-6 —
+    # that is the structural-exactness pin)
+    out_b, st_b = base.apply(v_base, x, train=True, mutable=["batch_stats"])
+    out_s, st_s = s2d.apply(v_base, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_b), atol=1e-2, rtol=1e-2
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(st_s),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-2)
+
+    # grads through the stem equal — eval-mode forward (running BN stats),
+    # so the comparison is free of the train-mode batch-stat noise
+    # amplification and pins the s2d BACKWARD exactly (diffs <=2e-5 across
+    # every leaf, measured)
+    def loss(model, params):
+        out = model.apply(
+            {"params": params, "batch_stats": v_base["batch_stats"]},
+            x, train=False,
+        )
+        return jnp.mean(jnp.square(out))
+
+    gb = jax.grad(lambda p: loss(base, p))(v_base["params"])
+    gs = jax.grad(lambda p: loss(s2d, p))(v_base["params"])
+    for (ka, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gb), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(gs), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
+            err_msg=str(ka),
+        )
+
+    # full network end-to-end: finite + loose equality (EMAU amplification)
+    full_b = EMANet(num_classes=3, n_layers=50, stride=8)
+    full_s = EMANet(num_classes=3, n_layers=50, stride=8, s2d_stem=True)
+    vfull = full_b.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, train=False,
+    )
+    mu = init_emau_mu(512, 64)
+    ob = full_b.apply(vfull, x, mu, train=False)
+    os_ = full_s.apply(vfull, x, mu, train=False)
+    np.testing.assert_allclose(np.asarray(os_), np.asarray(ob),
+                               atol=5e-3, rtol=1e-2)
