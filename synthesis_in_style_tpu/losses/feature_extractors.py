@@ -131,3 +131,98 @@ def imagenet_normalize_from_unit_range(x: Array) -> Array:
     """[-1, 1] NHWC -> torchvision-normalized input."""
     x01 = (x + 1.0) / 2.0
     return (x01 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# ---------------------------------------------------------------------------
+# SqueezeNet 1.1 (the reference LPIPS's third backbone; richzhang
+# pretrained_networks.squeezenet slices features[0:2], [2:5], [5:8], [8:10],
+# [10], [11], [12] -> 7 taps of 64/128/256/384/384/512/512 channels — the
+# shapes of the vendored losses/lpips_weights v0.x squeeze lin weights)
+# ---------------------------------------------------------------------------
+
+SQUEEZENET_CHANNELS = [64, 128, 256, 384, 384, 512, 512]
+# (squeeze, expand) per Fire module of squeezenet1_1, in torchvision order
+_SQUEEZE_FIRES = [
+    (16, 64), (16, 64), (32, 128), (32, 128),
+    (48, 192), (48, 192), (64, 256), (64, 256),
+]
+# torchvision features indices of the Fire modules
+_SQUEEZE_FIRE_IDS = [3, 4, 6, 7, 9, 10, 11, 12]
+# maxpool before these fire list-positions
+_SQUEEZE_POOL_BEFORE = {0, 2, 4}
+# tap after this fire list-position (first tap is the stem conv)
+_SQUEEZE_TAP_AFTER = {1, 3, 4, 5, 6, 7}
+
+
+class Fire(nn.Module):
+    """SqueezeNet Fire: 1x1 squeeze -> relu -> concat(1x1, 3x3 expands)."""
+
+    squeeze: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), name="expand1x1")(s))
+        e3 = nn.relu(
+            nn.Conv(
+                self.expand, (3, 3), padding=[(1, 1), (1, 1)], name="expand3x3"
+            )(s)
+        )
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """squeezenet1_1 trunk; returns the 7 LPIPS tap maps."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        feats = []
+        # stem: conv 3x3 stride 2 VALID (torchvision Conv2d(3, 64, 3, 2))
+        x = nn.Conv(
+            64, (3, 3), strides=(2, 2), padding="VALID", name="conv_0"
+        )(x)
+        x = nn.relu(x)
+        feats.append(x)  # tap 0
+        for i, (sq, ex) in enumerate(_SQUEEZE_FIRES):
+            if i in _SQUEEZE_POOL_BEFORE:
+                # ceil_mode=True maxpool 3x3/s2 (torchvision default here)
+                h, w = x.shape[1], x.shape[2]
+                ph = 0 if (h - 3) % 2 == 0 else 1
+                pw = 0 if (w - 3) % 2 == 0 else 1
+                x = nn.max_pool(
+                    x, (3, 3), strides=(2, 2),
+                    padding=[(0, ph), (0, pw)],
+                )
+            x = Fire(sq, ex, name=f"fire_{i}")(x)
+            if i in _SQUEEZE_TAP_AFTER:
+                feats.append(x)
+        return feats
+
+
+def load_torch_squeezenet_features(
+    state_dict: Dict[str, np.ndarray]
+) -> Dict:
+    """torchvision squeezenet1_1 state dict -> flax variables for
+    SqueezeNetFeatures."""
+    prefix = (
+        "features." if any(k.startswith("features.") for k in state_dict)
+        else ""
+    )
+
+    def conv(tkey):
+        return {
+            "kernel": np.asarray(
+                state_dict[f"{tkey}.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": np.asarray(state_dict[f"{tkey}.bias"]),
+        }
+
+    params: Dict[str, Any] = {"conv_0": conv(f"{prefix}0")}
+    for i, tid in enumerate(_SQUEEZE_FIRE_IDS):
+        params[f"fire_{i}"] = {
+            "squeeze": conv(f"{prefix}{tid}.squeeze"),
+            "expand1x1": conv(f"{prefix}{tid}.expand1x1"),
+            "expand3x3": conv(f"{prefix}{tid}.expand3x3"),
+        }
+    return {"params": params}

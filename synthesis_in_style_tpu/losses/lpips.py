@@ -114,6 +114,15 @@ class LPIPS:
             self.backbone = AlexNetFeatures()
             self.taps = list(range(5))
             channels = ALEXNET_CHANNELS
+        elif net == "squeeze":
+            from synthesis_in_style_tpu.losses.feature_extractors import (
+                SQUEEZENET_CHANNELS,
+                SqueezeNetFeatures,
+            )
+
+            self.backbone = SqueezeNetFeatures()
+            self.taps = list(range(7))
+            channels = SQUEEZENET_CHANNELS
         else:
             raise NotImplementedError(net)
         if backbone_variables is None:

@@ -73,6 +73,18 @@ def convert_alexnet(state_dict, out_dir: Path) -> Path:
     return path
 
 
+def convert_squeezenet(state_dict, out_dir: Path) -> Path:
+    from synthesis_in_style_tpu.losses.feature_extractors import (
+        load_torch_squeezenet_features,
+    )
+    from synthesis_in_style_tpu.utils.checkpoint import save_pytree_npz
+
+    variables = load_torch_squeezenet_features(state_dict)
+    path = out_dir / "squeeze_features.npz"
+    save_pytree_npz(path, variables)
+    return path
+
+
 def convert_inception(state_dict, out_dir: Path) -> Path:
     from synthesis_in_style_tpu.models.inception_v3 import (
         load_torch_inception_v3,
@@ -92,6 +104,7 @@ def main(argv=None) -> int:
                         "./metric_weights)")
     parser.add_argument("--vgg16", type=Path, default=None)
     parser.add_argument("--alexnet", type=Path, default=None)
+    parser.add_argument("--squeezenet", type=Path, default=None)
     parser.add_argument("--inception", type=Path, default=None,
                         help="pytorch_fid pt_inception .pth")
     parser.add_argument("--from-torchvision", action="store_true",
@@ -105,6 +118,7 @@ def main(argv=None) -> int:
 
     vgg = args.vgg16 or _find_in_torch_cache("vgg16-*.pth")
     alex = args.alexnet or _find_in_torch_cache("alexnet-*.pth")
+    squeeze = args.squeezenet or _find_in_torch_cache("squeezenet1_1-*.pth")
     inception = args.inception or _find_in_torch_cache("pt_inception-*.pth")
 
     if args.from_torchvision and (vgg is None or alex is None):
@@ -128,6 +142,10 @@ def main(argv=None) -> int:
         converted.append(convert_vgg16(_load_state_dict(vgg), out_dir))
     if alex is not None:
         converted.append(convert_alexnet(_load_state_dict(alex), out_dir))
+    if squeeze is not None:
+        converted.append(
+            convert_squeezenet(_load_state_dict(squeeze), out_dir)
+        )
     if inception is not None:
         converted.append(
             convert_inception(_load_state_dict(inception), out_dir)

@@ -326,3 +326,100 @@ def test_pytree_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
     np.testing.assert_array_equal(back["a"]["c"], tree["a"]["c"])
     np.testing.assert_array_equal(back["d"], tree["d"])
+
+
+# ---------------- SqueezeNet backbone (round 3) ----------------
+
+class _TorchFire(tnn.Module):
+    """torchvision squeezenet Fire with the same submodule names."""
+
+    def __init__(self, in_c, squeeze, expand):
+        super().__init__()
+        self.squeeze = tnn.Conv2d(in_c, squeeze, 1)
+        self.expand1x1 = tnn.Conv2d(squeeze, expand, 1)
+        self.expand3x3 = tnn.Conv2d(squeeze, expand, 3, padding=1)
+
+    def forward(self, x):
+        import torch as _t
+
+        s = _t.relu(self.squeeze(x))
+        return _t.cat(
+            [_t.relu(self.expand1x1(s)), _t.relu(self.expand3x3(s))], dim=1
+        )
+
+
+def _torch_squeezenet_features() -> tnn.Sequential:
+    """torchvision squeezenet1_1.features layout (fires at 3,4,6,7,9-12)."""
+    return tnn.Sequential(
+        tnn.Conv2d(3, 64, 3, stride=2),
+        tnn.ReLU(),
+        tnn.MaxPool2d(3, 2, ceil_mode=True),
+        _TorchFire(64, 16, 64),
+        _TorchFire(128, 16, 64),
+        tnn.MaxPool2d(3, 2, ceil_mode=True),
+        _TorchFire(128, 32, 128),
+        _TorchFire(256, 32, 128),
+        tnn.MaxPool2d(3, 2, ceil_mode=True),
+        _TorchFire(256, 48, 192),
+        _TorchFire(384, 48, 192),
+        _TorchFire(384, 64, 256),
+        _TorchFire(512, 64, 256),
+    )
+
+
+def test_squeezenet_features_match_torch():
+    """SqueezeNetFeatures == a torchvision-layout squeezenet1_1 trunk with
+    converted random weights, at every one of the 7 LPIPS taps (richzhang
+    pretrained_networks slices, reference losses/lpips)."""
+    import torch
+
+    from synthesis_in_style_tpu.losses.feature_extractors import (
+        SQUEEZENET_CHANNELS,
+        SqueezeNetFeatures,
+        load_torch_squeezenet_features,
+    )
+
+    torch.manual_seed(0)
+    seq = _torch_squeezenet_features()
+    sd = {k: v.detach().numpy() for k, v in seq.state_dict().items()}
+    variables = load_torch_squeezenet_features(sd)
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 65, 65)).astype("f4")
+    # torch taps: run sequentially, record after the richzhang slice ends
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        torch_taps = []
+        for i, m in enumerate(seq):
+            t = m(t)
+            if i in (1, 4, 7, 9, 10, 11, 12):
+                torch_taps.append(t.numpy())
+
+    ours = SqueezeNetFeatures().apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    assert len(ours) == len(torch_taps) == 7
+    for i, (a, b) in enumerate(zip(ours, torch_taps)):
+        assert a.shape[-1] == SQUEEZENET_CHANNELS[i]
+        np.testing.assert_allclose(
+            np.asarray(a).transpose(0, 3, 1, 2), b, rtol=1e-4, atol=1e-4,
+            err_msg=f"tap {i}",
+        )
+
+
+def test_lpips_squeeze_variant():
+    """LPIPS(net='squeeze'): 7 vendored lin taps load, distances behave."""
+    import warnings
+
+    from synthesis_in_style_tpu.losses.lpips import LPIPS
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        lp = LPIPS(net="squeeze")
+    import jax
+
+    assert len(lp.lin_weights) == 7
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    d0 = lp(x, x)
+    np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-6)
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    assert np.all(np.asarray(lp(x, y)) > 0)
