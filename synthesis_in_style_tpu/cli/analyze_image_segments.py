@@ -287,8 +287,11 @@ def main(args: argparse.Namespace) -> None:
                 ]
                 if not chunk:
                     continue
+                bq = getattr(args, "bucket_quantum", 0)
                 predictions = segmenter.segment_images(
-                    [im for _, im in chunk], pages_per_batch, output="classes"
+                    [im for _, im in chunk], pages_per_batch,
+                    output="classes",
+                    bucket_quantum=None if bq < 0 else bq,
                 )
                 if evaluate:
                     for (image_path, _), predicted in zip(chunk, predictions):
@@ -411,8 +414,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pages-per-batch", type=int, default=0,
                         help="Throughput mode (requires fused page "
                         "inference; evaluation only, ignored with -vis): "
-                        "group N same-tiling pages into one fused dispatch "
-                        "with device-argmaxed uint8 class output.")
+                        "group N pages into one fused dispatch "
+                        "with device-argmaxed uint8 class output. Pages of "
+                        "different sizes batch together (canvas bucketing; "
+                        "see --bucket-quantum).")
+    parser.add_argument("--bucket-quantum", type=int, default=0,
+                        help="Canvas-size quantum (px) for batching pages "
+                        "of DIFFERENT sizes into one compiled program; 0 = "
+                        "the patch size (default), negative = disable "
+                        "bucketing (exact-tiling groups only). Results are "
+                        "bit-equal to each page's own tiling either way.")
     parser.add_argument("--quantize", action="store_true", default=False,
                         help="Static w8a8 int8 serving for the patch "
                         "forward (DocUFCN only): scales calibrated on the "
