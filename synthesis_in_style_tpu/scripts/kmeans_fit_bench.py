@@ -108,6 +108,22 @@ def main(argv=None) -> int:
     results = {
         "num_samples": args.num_samples, "fits": [], "sklearn": [],
     }
+    # HBM guard: one layer's activations must fit on the chip (f32).
+    # v5e has 16 GB; leave room for the fit's normalized copy (~2x).
+    budget = 6e9
+    skipped = [
+        l for l in layer_ids
+        if args.num_samples * np.prod(shapes[l]) * 4 > budget
+    ]
+    if skipped:
+        print(
+            f"SKIPPING layers {skipped}: activations exceed the {budget/1e9:.0f} GB "
+            "per-layer device budget at this --num-samples (the fit "
+            "normalizes a second copy) — lower --num-samples or use "
+            "--layers to select",
+            flush=True,
+        )
+        layer_ids = [l for l in layer_ids if l not in skipped]
     total = 0.0
     gen_total = 0.0
     for layer in layer_ids:
