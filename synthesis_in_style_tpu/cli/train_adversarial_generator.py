@@ -49,12 +49,24 @@ from synthesis_in_style_tpu.updaters.adversarial_updater import (
 
 
 def build_networks(config: dict):
-    gen_channels = generator_channels(config.get("channel_multiplier", 2))
+    # encoder channel map + noise-head layout must match the decoder
+    # variant (reference wires encoders through the variant-dispatching
+    # get_autoencoder, networks/__init__.py:396-412)
+    variant = 1 if str(config.get("stylegan_variant", 2)) == "1" else 2
+    if variant == 1:
+        from synthesis_in_style_tpu.models.stylegan1 import (
+            ProgressiveGenerator,
+        )
+
+        gen_channels = ProgressiveGenerator.get_channels()
+    else:
+        gen_channels = generator_channels(config.get("channel_multiplier", 2))
     decoder = get_generator(config)
     generation_ae = ContentAndStyleStyleganAutoencoder(
         encoder=WPlusEncoder(
             config["image_size"], config["latent_size"],
             2 * config.get("input_dim", 3), gen_channels,
+            stylegan_variant=variant,
         ),
         decoder=decoder,
     )
@@ -62,6 +74,7 @@ def build_networks(config: dict):
         encoder=WPlusEncoder(
             config["image_size"], config["latent_size"],
             config.get("input_dim", 3), gen_channels,
+            stylegan_variant=variant,
         ),
         decoder=get_generator(config),
     )

@@ -67,6 +67,20 @@ def get_discriminator(
         return stylegan2.Discriminator(
             input_channels=config.get("input_dim", 3), **kwargs
         )
+    if str(variant) == "1":
+        # (reference stylegan1 Discriminator factories,
+        # networks/__init__.py:144-323 / stylegan1/model.py:533-604);
+        # fixed-resolution use (adversarial training) runs the full
+        # pyramid for the configured image size
+        import math
+
+        from synthesis_in_style_tpu.models.stylegan1 import (
+            ProgressiveDiscriminator,
+        )
+
+        return ProgressiveDiscriminator(
+            default_step=int(math.log2(config["image_size"])) - 2,
+        )
     raise NotImplementedError(f"stylegan variant {variant!r} not supported")
 
 

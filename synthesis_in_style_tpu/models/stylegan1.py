@@ -357,7 +357,13 @@ class StyledGenerator(nn.Module):
         input_is_latent: bool = False,
         return_intermediate_activations: bool = False,
         step: Optional[int] = None,
+        randomize_noise: bool = True,
     ):
+        # `randomize_noise` exists for decoder-API compatibility with the
+        # stylegan2 Generator (autoencoder compositions pass it): stylegan1
+        # has no registered noise buffers (reference model.py:463-530), so
+        # None-noise always means freshly drawn maps.
+        del randomize_noise
         step = self.step if step is None else step
         if not input_is_latent:
             styles = [self.style(t) for t in input]
@@ -380,13 +386,22 @@ class StyledGenerator(nn.Module):
 
 
 class ProgressiveDiscriminator(nn.Module):
-    """(reference stylegan1 Discriminator :533-604)."""
+    """(reference stylegan1 Discriminator :533-604).
+
+    `default_step` lets factory users (fixed-resolution adversarial
+    training, models/factory.py get_discriminator variant 1) bake in the
+    step matching their image size so call sites that never pass `step`
+    (e.g. updaters/adversarial_updater.py) run the full pyramid."""
 
     fused: bool = True
     from_rgb_activate: bool = False
+    default_step: int = 0
 
     @nn.compact
-    def __call__(self, x: Array, step: int = 0, alpha: float = -1.0) -> Array:
+    def __call__(
+        self, x: Array, step: Optional[int] = None, alpha: float = -1.0
+    ) -> Array:
+        step = self.default_step if step is None else step
         down_channels = [
             (16, 32), (32, 64), (64, 128), (128, 256), (256, 512),
             (512, 512), (512, 512), (512, 512),

@@ -59,6 +59,14 @@ def maybe_initialize_distributed() -> None:
     kwargs = {}
     num = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    if (num is None) != (pid is None):
+        # Exactly one of the pair set is always a launcher misconfiguration;
+        # falling through to auto-detection here fails later with an
+        # unrelated-looking coordinator error.
+        raise RuntimeError(
+            "JAX_NUM_PROCESSES and JAX_PROCESS_ID must be set together "
+            f"(got JAX_NUM_PROCESSES={num!r}, JAX_PROCESS_ID={pid!r})"
+        )
     if num is not None and pid is not None:
         kwargs = dict(num_processes=int(num), process_id=int(pid))
     try:

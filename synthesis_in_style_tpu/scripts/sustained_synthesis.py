@@ -62,6 +62,15 @@ def main(argv=None) -> int:
 
     ckpt = Path(args.checkpoint)
     image_dir = ckpt.parent.parent / "generated_images"
+    # PNGs from previous runs must not inflate pairs_written or the first
+    # throughput window: count them up front and report deltas.
+    baseline = count_outputs(image_dir)
+    if baseline:
+        print(
+            f"warning: {image_dir} already holds {baseline} pairs from a "
+            "previous run; reporting deltas against that baseline",
+            flush=True,
+        )
     cmd = [
         sys.executable, "-m",
         "synthesis_in_style_tpu.cli.create_dataset_for_segmentation",
@@ -77,7 +86,7 @@ def main(argv=None) -> int:
         while proc.poll() is None:
             time.sleep(args.interval)
             now = time.time()
-            n = count_outputs(image_dir)
+            n = count_outputs(image_dir) - baseline
             rss_mb, n_fds = proc_stats(proc.pid)
             rate = (n - last_n) / max(1e-9, now - last_t)
             row = {
@@ -94,7 +103,7 @@ def main(argv=None) -> int:
     finally:
         out.close()
     dt = time.time() - t0
-    n = count_outputs(image_dir)
+    n = count_outputs(image_dir) - baseline
     print(
         f"CLI exit {proc.returncode}; {n} pairs in {dt:.1f}s "
         f"= {n / dt:.2f} pairs/s overall", flush=True,

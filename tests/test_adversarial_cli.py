@@ -81,7 +81,33 @@ def test_load_autoencoder_or_generator(tmp_path):
     assert out.shape == (1, 32, 32, 3)
 
 
-def test_adversarial_cli_end_to_end(tmp_path):
+def test_variant1_factory_dispatch():
+    """get_discriminator/get_autoencoder wire stylegan variant 1 (reference
+    networks/__init__.py:144-323 stylegan1 factories; VERDICT r3 #7)."""
+    from synthesis_in_style_tpu.models.factory import get_discriminator
+    from synthesis_in_style_tpu.models.stylegan1 import (
+        ProgressiveDiscriminator,
+    )
+
+    cfg = dict(CONFIG, stylegan_variant=1)
+    disc = get_discriminator(cfg)
+    assert isinstance(disc, ProgressiveDiscriminator)
+    # full pyramid for the configured 32px size without an explicit step
+    assert disc.default_step == 3
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = disc.init(jax.random.PRNGKey(0), x)
+    assert disc.apply(variables, x).shape == (2, 1)
+
+    ae = get_autoencoder(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    av = ae.init(rngs, x, train=False)
+    out = ae.apply(av, x, train=False,
+                   rngs={"noise": jax.random.PRNGKey(2)})
+    assert out.shape == (2, 32, 32, 3)
+
+
+@pytest.mark.parametrize("stylegan_variant", [2, 1])
+def test_adversarial_cli_end_to_end(tmp_path, stylegan_variant):
     from synthesis_in_style_tpu.cli import train_adversarial_generator as adv
     from synthesis_in_style_tpu.utils.checkpoint import latest_snapshot
 
@@ -103,6 +129,7 @@ def test_adversarial_cli_end_to_end(tmp_path):
 
     config = dict(
         CONFIG,
+        stylegan_variant=stylegan_variant,
         batch_size=2,
         lr=1e-3,
         beta1=0.5,
