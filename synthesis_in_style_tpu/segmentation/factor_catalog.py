@@ -21,6 +21,7 @@ import numpy as np
 from synthesis_in_style_tpu.segmentation.kmeans import (
     MiniBatchSphericalKMeans,
     assign_euclidean,
+    assign_euclidean_bucketed,
 )
 from synthesis_in_style_tpu.segmentation.ptutils import partial_flat
 
@@ -39,7 +40,9 @@ class FactorCatalog:
         """Fit on (N,H,W,C) activations; return (N,H,W) integer labels."""
         flat, _ = partial_flat(x)
         self._kmeans.fit(flat)
-        labels = assign_euclidean(flat, jnp.asarray(self._kmeans.cluster_centers_))
+        labels = assign_euclidean_bucketed(
+            flat, self._kmeans.cluster_centers_, self._kmeans.k_bucket
+        )
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
         return labels.reshape(n, h, w)
 
@@ -48,7 +51,9 @@ class FactorCatalog:
         factor_catalog.py:69-75)."""
         assert self.cluster_centers is not None, "fit or load first"
         flat, _ = partial_flat(x)
-        labels = assign_euclidean(flat, jnp.asarray(self.cluster_centers))
+        labels = assign_euclidean_bucketed(
+            flat, self.cluster_centers, self._kmeans.k_bucket
+        )
         return labels.reshape(x.shape[0], x.shape[1], x.shape[2])
 
 

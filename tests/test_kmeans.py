@@ -146,3 +146,68 @@ def test_partial_fit_and_predict_shapes():
 def test_invalid_n_clusters_raises():
     with pytest.raises(ValueError, match="n_clusters"):
         MiniBatchSphericalKMeans(n_clusters=0)
+
+
+def test_k_bucket_compile_reuse():
+    """Every k in a bucket must reuse ONE compiled fit-epoch program
+    (VERDICT r3 #4: the cluster-discovery CLI sweeps k=3..24 per layer and
+    paid one ~10 s XLA compile per (shape, k) without padding)."""
+    from synthesis_in_style_tpu.segmentation.kmeans import (
+        _fit_epoch,
+        _kmeanspp_init,
+        assign_euclidean_bucketed,
+        k_bucket_size,
+    )
+
+    assert k_bucket_size(3, 8) == 8
+    assert k_bucket_size(8, 8) == 8
+    assert k_bucket_size(9, 8) == 16
+    assert k_bucket_size(24, 8) == 24
+    assert k_bucket_size(5, 0) == 5  # disabled
+
+    centers = np.array([[4.0, 0.0], [0.0, 4.0], [-4.0, 0.0], [0.0, -4.0],
+                        [3.0, 3.0], [-3.0, 3.0], [3.0, -3.0]], np.float32)
+    x, _ = _blobs(200, centers, 0.2, seed=3)
+
+    base_fit = _fit_epoch._cache_size()
+    base_init = _kmeanspp_init._cache_size()
+    models = {}
+    for k in (3, 5, 7, 8):  # one bucket (K_pad = 8)
+        m = MiniBatchSphericalKMeans(k, batch_size=256, n_epochs=2, seed=0)
+        m.fit(x)
+        models[k] = m
+        assert m.cluster_centers_.shape == (k, 2)
+    assert _fit_epoch._cache_size() - base_fit == 1
+    assert _kmeanspp_init._cache_size() - base_init == 1
+
+    # bucketed prediction shares one program across the bucket too
+    base_assign = assign_euclidean._cache_size()
+    for k, m in models.items():
+        labels = np.asarray(
+            assign_euclidean_bucketed(jnp.asarray(x), m.cluster_centers_)
+        )
+        assert labels.max() < k
+    assert assign_euclidean._cache_size() - base_assign == 1
+
+
+def test_k_bucket_quality_matches_unpadded():
+    """Padding must not change fit quality: bucketed and unpadded fits land
+    within a few percent inertia of each other on separable blobs."""
+    from synthesis_in_style_tpu.segmentation.kmeans import _spherical_inertia
+
+    centers = np.array([[4.0, 0.0, 0], [0.0, 4.0, 0], [-4.0, 0.0, 1],
+                        [0.0, -4.0, 1], [2.0, 2.0, -2]], np.float32)
+    x, _ = _blobs(300, centers, 0.15, seed=5)
+    xn = jnp.asarray(_normalize(x))
+
+    inertias = {}
+    for bucket in (8, 0):
+        m = MiniBatchSphericalKMeans(
+            5, batch_size=256, n_epochs=3, seed=0, k_bucket=bucket
+        )
+        m.fit(x)
+        inertias[bucket] = float(
+            _spherical_inertia(xn, jnp.asarray(_normalize(m.cluster_centers_)))
+        )
+    assert inertias[8] <= inertias[0] * 1.05 + 1e-6
+    assert inertias[0] <= inertias[8] * 1.05 + 1e-6
