@@ -301,7 +301,14 @@ def build_parser() -> argparse.ArgumentParser:
         "thresholds differ slightly from the OpenCV polygon areas near "
         "the cutoff",
     )
-    parser.add_argument("--num-clusters", type=int, default=-1)
+    parser.add_argument(
+        "--num-clusters",
+        # ints for reference parity; also accepts a string tag naming a
+        # composed catalog (catalogs/<tag>.npz from
+        # scripts/select_cluster_config.py)
+        type=lambda s: int(s) if s.lstrip("-").isdigit() else s,
+        default=-1,
+    )
     parser.add_argument("--classifier-path", default=None)
     parser.add_argument("-ssd", "--semantic-segmentation-base-dir", type=Path,
                         default=None)

@@ -152,9 +152,21 @@ def main(argv=None) -> int:
         del x_dev
     results["total_fit_s"] = total
     results["generate_s"] = gen_total
+    from synthesis_in_style_tpu.segmentation.kmeans import (
+        _fit_epoch,
+        _kmeanspp_init,
+        assign_euclidean,
+    )
+
+    results["compiled_programs"] = {
+        "fit_epoch": _fit_epoch._cache_size(),
+        "kmeanspp_init": _kmeanspp_init._cache_size(),
+        "assign": assign_euclidean._cache_size(),
+    }
     print(
         f"TOTAL device fit time ({len(layer_ids)} layers x {len(ks)} k): "
-        f"{total:.1f}s (+{gen_total:.1f}s activation generation)",
+        f"{total:.1f}s (+{gen_total:.1f}s activation generation); "
+        f"compiled programs {results['compiled_programs']}",
         flush=True,
     )
 

@@ -1,0 +1,67 @@
+"""Purity-scored cluster-config selection (scripts/select_cluster_config) —
+host scoring rules that replace the reference's human layer-role/k choice
+(reference configs/dataset_creation/stylegan2_cluster_based_bw_hwp_wpi.json:7-13)."""
+
+import argparse
+
+import numpy as np
+
+from synthesis_in_style_tpu.scripts.select_cluster_config import (
+    labels_from_stats,
+    score_stats,
+)
+
+ARGS = argparse.Namespace(
+    left_class="printed_text", right_class="handwritten_text",
+    background_class="background", left_threshold=0.6,
+)
+
+
+def make_stats(rows):
+    """rows: (n, n_dark, n_dark_left, lum_sum, n_left)."""
+    return np.asarray(rows, np.float64)
+
+
+def test_separating_layer_scores_high():
+    # cluster 0: pure-left text, cluster 1: pure-right text, cluster 2: paper
+    stats = make_stats([
+        [1000, 900, 880, 100, 900],
+        [1000, 850, 30, 120, 80],
+        [8000, 100, 50, 7200, 4000],
+    ])
+    s = score_stats(stats, dark_fraction=0.4, left_threshold=0.6)
+    assert s["both_sides"]
+    assert s["cd_score"] > 0.9
+    labels = labels_from_stats(s, 3, ARGS)
+    assert labels == {"0": "printed_text", "1": "handwritten_text",
+                      "2": "background"}
+
+
+def test_mixed_layer_scores_low():
+    # one big text cluster straddling both halves (round-3 failure mode:
+    # dark-left fractions 0.4-0.6 at blanket k)
+    stats = make_stats([
+        [2000, 1700, 880, 250, 1000],
+        [8000, 100, 50, 7200, 4000],
+    ])
+    s = score_stats(stats, dark_fraction=0.4, left_threshold=0.6)
+    assert not s["both_sides"]
+    assert s["cd_score"] < 0.05
+
+
+def test_fg_score_is_ink_f1():
+    # text clusters capture 90% of dark mass at 90% precision
+    stats = make_stats([
+        [1000, 900, 450, 100, 500],
+        [9000, 100, 50, 8100, 4500],
+    ])
+    s = score_stats(stats, dark_fraction=0.4, left_threshold=0.6)
+    assert abs(s["ink_recall"] - 0.9) < 1e-6
+    assert abs(s["ink_precision"] - 0.9) < 1e-6
+    assert abs(s["fg_score"] - 0.9) < 1e-6
+
+
+def test_empty_clusters_do_not_crash():
+    stats = make_stats([[0, 0, 0, 0, 0], [100, 0, 0, 90, 50]])
+    s = score_stats(stats, dark_fraction=0.4, left_threshold=0.6)
+    assert s["cd_score"] == 0.0 and s["fg_score"] == 0.0
