@@ -549,9 +549,17 @@ class Generator(nn.Module):
         noise: Optional[Sequence[Optional[Array]]] = None,
         randomize_noise: bool = True,
         return_intermediate_activations: bool = False,
+        capture: Optional[Dict[str, Array]] = None,
     ) -> Tuple[Array, Any]:
+        # `capture` is the bisect hook: per-stage outputs WITHOUT
+        # stop_gradient, so grad-of-mean of one stage compiles to the exact
+        # fwd+bwd prefix (scripts/gan_stage_bisect.py). The activation
+        # protocol (`return_intermediate_activations`) stays stop-gradient —
+        # the synthesis pipeline depends on that.
         if not input_is_latent:
             styles = [self.style(s) for s in styles]
+        if capture is not None:
+            capture["style_mlp"] = styles[0]
 
         if truncation < 1:
             assert truncation_latent is not None
@@ -599,8 +607,12 @@ class Generator(nn.Module):
         out = self.conv1(out, latent[:, 0], noise=noise[0])
         if acts is not None:
             acts[1] = lax.stop_gradient(out)
+        if capture is not None:
+            capture["conv_1"] = out
 
         skip = self.to_rgb1(out, latent[:, 1])
+        if capture is not None:
+            capture["to_rgb_1"] = skip
 
         i = 1
         for conv1, conv2, noise1, noise2, to_rgb in zip(
@@ -613,10 +625,16 @@ class Generator(nn.Module):
             out = conv1(out, latent[:, i], noise=noise1)
             if acts is not None:
                 acts[i + 1] = lax.stop_gradient(out)
+            if capture is not None:
+                capture[f"conv_{i + 1}"] = out
             out = conv2(out, latent[:, i + 1], noise=noise2)
             if acts is not None:
                 acts[i + 2] = lax.stop_gradient(out)
+            if capture is not None:
+                capture[f"conv_{i + 2}"] = out
             skip = to_rgb(out, latent[:, i + 2], skip)
+            if capture is not None:
+                capture[f"to_rgb_{i + 2}"] = skip
             i += 2
 
         image = skip
@@ -719,11 +737,17 @@ class Discriminator(nn.Module):
     input_channels: int = 3
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, capture: Optional[Dict[str, Array]] = None) -> Array:
+        # `capture` records per-stage outputs WITHOUT stop_gradient (unlike
+        # the generator's activation protocol) — the per-stage fwd+bwd
+        # bisect jits grad-of-mean of one stage and lets XLA dead-code
+        # eliminate the rest (scripts/gan_stage_bisect.py)
         channels = generator_channels(self.channel_multiplier)
         log_size = int(math.log2(self.size))
 
         out = ConvLayer(channels[self.size], 1, name="conv_in")(x)
+        if capture is not None:
+            capture["conv_in"] = out
         block = 0
         for i in range(log_size, 2, -1):
             out = ResBlock(
@@ -731,12 +755,18 @@ class Discriminator(nn.Module):
                 blur_kernel=self.blur_kernel,
                 name=f"blocks_{block}",
             )(out)
+            if capture is not None:
+                capture[f"block_{block}"] = out
             block += 1
 
         out = minibatch_stddev(out, group_size=4, num_features=1)
         out = ConvLayer(channels[4], 3, name="final_conv")(out)
+        if capture is not None:
+            capture["final_conv"] = out
 
         out = out.reshape(out.shape[0], -1)  # NHWC flatten (converter permutes)
         out = EqualLinear(channels[4], activation=True, name="final_linear_0")(out)
         out = EqualLinear(1, name="final_linear_1")(out)
+        if capture is not None:
+            capture["logits"] = out
         return out
