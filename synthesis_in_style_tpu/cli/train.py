@@ -109,6 +109,31 @@ def main(args: argparse.Namespace) -> None:
     config["log_dir"] = args.log_dir
     sanity_check_config(config)
 
+    resume_iteration = 0
+    if config.get("resume_ckpt") == "latest":
+        # preemption auto-resume across timestamped attempts of this
+        # logs/<log_dir>/<log_name> run (see cli/train_stylegan_2.py)
+        from synthesis_in_style_tpu.utils.checkpoint import (
+            discover_latest_snapshot,
+            snapshot_iteration,
+        )
+
+        found = discover_latest_snapshot(Path(args.log_dir).parent)
+        if found is None:
+            print("--resume-ckpt latest: no snapshot found, starting fresh")
+            config["resume_ckpt"] = None
+        else:
+            resume_iteration = snapshot_iteration(found)
+            print(f"--resume-ckpt latest: resuming {found} "
+                  f"at iteration {resume_iteration}")
+            config["resume_ckpt"] = str(found)
+    elif config.get("resume_ckpt"):
+        # explicit snapshot path: full resume too (this flag is additive —
+        # weights-only loading is what --fine-tune is for)
+        from synthesis_in_style_tpu.utils.checkpoint import snapshot_iteration
+
+        resume_iteration = snapshot_iteration(config["resume_ckpt"])
+
     train_data_loader = get_data_loader(Path(config["train_json"]), config, args)
     val_data_loader = (
         get_data_loader(
@@ -127,6 +152,9 @@ def main(args: argparse.Namespace) -> None:
         stop_trigger = (config["epochs"], "epoch")
 
     trainer = Trainer(builder.get_updater(), stop_trigger, log_dir=args.log_dir)
+    if resume_iteration:
+        trainer.updater.iteration = resume_iteration
+        train_data_loader.seek(resume_iteration)
     save_run_config(args.log_dir, config, args)
 
     evaluator = builder.get_evaluator()
@@ -175,6 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--coco-gt", default=None)
     parser.add_argument("--fine-tune", default=None,
                         help="Path to model to finetune from")
+    parser.add_argument("--resume-ckpt", dest="resume_ckpt", default=None,
+                        help="snapshot to FULLY resume from (weights + "
+                        "optimizer + iteration + data position); 'latest' "
+                        "auto-discovers the newest snapshot across this "
+                        "run's timestamped attempts (preemption resume)")
     parser.add_argument("--class-to-color-map", default="handwriting_colors.json")
     parser.add_argument("-c", "--cache-root", default=None)
     parser.add_argument("-l", "--log-dir", default="training", help="outputs path")

@@ -153,6 +153,26 @@ def main(args: argparse.Namespace) -> None:
         gen, disc, jax.random.PRNGKey(config.get("seed", 0)),
         config["image_size"], g_tx, d_tx,
     )
+    resume_iteration = 0
+    if config.get("resume_ckpt") == "latest":
+        # preemption auto-resume: newest snapshot across every timestamped
+        # attempt of this logs/<log_dir>/<log_name> run; restores the
+        # iteration counter + data-stream position too (explicit paths keep
+        # the reference's weights-only semantics, train_stylegan_2.py:75-77)
+        from synthesis_in_style_tpu.utils.checkpoint import (
+            discover_latest_snapshot,
+            snapshot_iteration,
+        )
+
+        found = discover_latest_snapshot(log_dir.parent)
+        if found is None:
+            print("--resume-ckpt latest: no snapshot found, starting fresh")
+            config["resume_ckpt"] = None
+        else:
+            resume_iteration = snapshot_iteration(found)
+            print(f"--resume-ckpt latest: resuming {found} "
+                  f"at iteration {resume_iteration}")
+            config["resume_ckpt"] = str(found)
     if config.get("resume_ckpt"):
         from synthesis_in_style_tpu.updaters.stylegan2_updater import (
             restore_gan_snapshot,
@@ -208,6 +228,9 @@ def main(args: argparse.Namespace) -> None:
         seed=config.get("seed", 0),
         mesh=data_parallel_mesh(int(config["batch_size"])),
     )
+    if resume_iteration:
+        updater.iteration = resume_iteration
+        train_loader.seek(resume_iteration)
 
     trainer = Trainer(
         updater, (int(config["max_iter"]), "iteration"), log_dir=log_dir
@@ -304,7 +327,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--images", default=None,
                         help="Path to json file with train images")
     parser.add_argument("--val-images", dest="val_images", default=None)
-    parser.add_argument("--resume-ckpt", dest="resume_ckpt", default=None)
+    parser.add_argument("--resume-ckpt", dest="resume_ckpt", default=None,
+                        help="checkpoint to resume weights from (orbax "
+                        "snapshot or reference .pt); 'latest' additionally "
+                        "restores iteration + data position from the newest "
+                        "snapshot across this run's timestamped attempts "
+                        "(preemption resume)")
     parser.add_argument("-c", "--cache-root", default=None)
     # reference train_stylegan_2.py:201 — the variant flag; merged into
     # config["stylegan_variant"] by merge_config_and_args when passed

@@ -27,7 +27,8 @@ class Updater(abc.ABC):
     ):
         self.iterators = iterators or {}
         self.iteration = 0
-        self._rng = jax.random.PRNGKey(seed)
+        self._base_rng = jax.random.PRNGKey(seed)
+        self._rng = self._base_rng
         self.state: Any = None
 
     @property
@@ -44,6 +45,12 @@ class Updater(abc.ABC):
         return next(self.iterators[name])
 
     def update(self):
+        # Re-key the RNG stream from (seed, iteration) every iteration: the
+        # draws become a pure function of the iteration counter instead of
+        # the split history, so a preemption resume at iteration k replays
+        # the exact stream a straight-through run would have used
+        # (cli --resume-ckpt latest; tests/test_resume.py).
+        self._rng = jax.random.fold_in(self._base_rng, self.iteration)
         self.update_core()
         self.iteration += 1
 

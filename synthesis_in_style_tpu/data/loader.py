@@ -63,6 +63,7 @@ class DataLoader:
         self.prefetch = prefetch
         self._epoch_counter = 0
         self._batches_into_epoch = 0
+        self._skip_batches = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -101,8 +102,8 @@ class DataLoader:
             batches.append(chunk)
         return batches
 
-    def _iter_epoch(self, epoch: int) -> Iterator[Any]:
-        batches = self._batch_index_lists(epoch)
+    def _iter_epoch(self, epoch: int, start: int = 0) -> Iterator[Any]:
+        batches = self._batch_index_lists(epoch)[start:]
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending: "queue.Queue" = queue.Queue()
             max_inflight = max(1, self.prefetch)
@@ -128,12 +129,27 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Any]:
         """One pass over the (sharded) dataset."""
-        self._batches_into_epoch = 0
-        for batch in self._iter_epoch(self._epoch_counter):
+        start = self._skip_batches
+        self._skip_batches = 0
+        self._batches_into_epoch = start
+        for batch in self._iter_epoch(self._epoch_counter, start):
             yield batch
             self._batches_into_epoch += 1
         self._epoch_counter += 1
         self._batches_into_epoch = 0
+
+    def batches_per_epoch(self) -> int:
+        return len(self._batch_index_lists(0))
+
+    def seek(self, iteration: int) -> None:
+        """Position the stream as if `iteration` batches had already been
+        consumed — preemption resume replays the EXACT per-epoch seeded
+        shuffle sequence a straight-through run would have seen (skipped
+        batches are never loaded)."""
+        per = self.batches_per_epoch()
+        self._epoch_counter = iteration // per
+        self._skip_batches = iteration % per
+        self._batches_into_epoch = self._skip_batches
 
     def infinite(self) -> Iterator[Any]:
         """Endless stream with per-epoch reshuffling (the trainer's hot-loop
@@ -170,7 +186,26 @@ def fill_plot_images(
     data_loader, num_desired_images: int = 16
 ) -> Dict[str, List[np.ndarray]]:
     """Gather sample images for image-plotter extensions (reference
-    utils/data_loading.py fill_plot_images :159-177)."""
+    utils/data_loading.py fill_plot_images :159-177).
+
+    Must NOT disturb the loader's epoch position: the training stream
+    shares it, and preemption resume (`seek`) relies on the
+    iteration -> batch mapping being a pure function of the iteration."""
+    saved = {
+        attr: getattr(data_loader, attr)
+        for attr in ("_epoch_counter", "_batches_into_epoch", "_skip_batches")
+        if hasattr(data_loader, attr)
+    }
+    try:
+        return _fill_plot_images(data_loader, num_desired_images)
+    finally:
+        for attr, value in saved.items():
+            setattr(data_loader, attr, value)
+
+
+def _fill_plot_images(
+    data_loader, num_desired_images: int
+) -> Dict[str, List[np.ndarray]]:
     from collections import defaultdict
 
     image_list: Dict[str, List[np.ndarray]] = defaultdict(list)

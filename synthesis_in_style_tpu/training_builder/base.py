@@ -126,6 +126,8 @@ class BaseTrainBuilder:
         )
         if self.fine_tune:
             state = self._load_fine_tune(state, self.fine_tune)
+        if self.config.get("resume_ckpt"):
+            state = self._load_resume(state, self.config["resume_ckpt"])
         return state
 
     def _load_fine_tune(self, state: SegTrainState, checkpoint) -> SegTrainState:
@@ -142,6 +144,24 @@ class BaseTrainBuilder:
             if "extra" in net and state.extra is not None
             else state.extra,
         )
+
+    def _load_resume(self, state: SegTrainState, checkpoint) -> SegTrainState:
+        """Full preemption resume: weights + BN stats + extra state + the
+        optimizer (fine-tune deliberately restores weights only)."""
+        from synthesis_in_style_tpu.utils.checkpoint import (
+            load_pytree,
+            restore_structured,
+        )
+
+        state = self._load_fine_tune(state, checkpoint)
+        tree = load_pytree(Path(checkpoint))
+        if "main_optimizer" in tree:
+            state = state.replace(
+                opt_state=restore_structured(
+                    state.opt_state, tree["main_optimizer"]
+                )
+            )
+        return state
 
     @property
     def state(self) -> SegTrainState:

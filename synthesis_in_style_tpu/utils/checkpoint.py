@@ -104,6 +104,36 @@ def latest_snapshot(checkpoint_dir: Union[str, Path]) -> Optional[Path]:
     return snaps[-1] if snaps else None
 
 
+def snapshot_iteration(snapshot: Union[str, Path]) -> int:
+    """Iteration encoded in an `iter_XXXXXXXX` snapshot dir name (0 when
+    the name carries none — e.g. a converted reference checkpoint)."""
+    name = Path(snapshot).name
+    if name.startswith("iter_") and name[5:].isdigit():
+        return int(name[5:])
+    return 0
+
+
+def discover_latest_snapshot(run_root: Union[str, Path]) -> Optional[Path]:
+    """Preemption auto-resume discovery (`--resume-ckpt latest`): the
+    highest-iteration snapshot across every timestamped run under a
+    `logs/<log_dir>/<log_name>` root (the convention both train CLIs use —
+    a restarted run gets a FRESH timestamp dir, so the previous attempt's
+    snapshots live in a sibling). Also accepts a single run dir or a bare
+    checkpoints dir; ties break toward the newest mtime."""
+    run_root = Path(run_root)
+    candidates = [
+        *run_root.glob("*/checkpoints/iter_*"),
+        *run_root.glob("checkpoints/iter_*"),
+        *run_root.glob("iter_*"),
+    ]
+    candidates = [c for c in candidates if c.is_dir()]
+    if not candidates:
+        return None
+    return max(
+        candidates, key=lambda c: (snapshot_iteration(c), c.stat().st_mtime)
+    )
+
+
 # ---------------------------------------------------------------------------
 # torch <-> flax generator conversion
 # ---------------------------------------------------------------------------
