@@ -223,7 +223,10 @@ def main(args: argparse.Namespace) -> None:
     updater = StyleGAN2Updater(
         gen, disc, g_tx, d_tx, state,
         iterators={"images": EpochStream(train_loader, key="images")},
-        batch_size=config["batch_size"],
+        # the jitted steps see the GLOBAL batch: config batch_size is
+        # per-process (each process's loader yields its own shard,
+        # reference DistributedSampler semantics)
+        batch_size=int(config["batch_size"]) * jax.process_count(),
         cfg=gan_cfg,
         seed=config.get("seed", 0),
         mesh=data_parallel_mesh(int(config["batch_size"])),

@@ -143,15 +143,21 @@ def data_parallel_mesh(batch_size: int) -> Optional[Mesh]:
     """The mesh a train CLI should use: a ("data",) mesh over all devices
     when there is more than one and the global batch divides evenly; None
     (single-device execution) otherwise, with a warning so silent 1-of-N
-    usage can't happen unnoticed."""
+    usage can't happen unnoticed.
+
+    `batch_size` is the PER-PROCESS batch (the config value feeding this
+    host's loader — reference DistributedSampler semantics); the global
+    batch the mesh must divide is process_count times that."""
     n = jax.device_count()
     if n <= 1:
         return None
-    if batch_size % n != 0:
+    global_batch = batch_size * jax.process_count()
+    if global_batch % n != 0:
         import warnings
 
         warnings.warn(
-            f"batch_size {batch_size} is not divisible by the {n} available "
+            f"global batch {global_batch} ({jax.process_count()} processes "
+            f"x {batch_size}) is not divisible by the {n} available "
             f"devices — training will run on ONE device; pick a divisible "
             f"batch size to enable data parallelism",
             stacklevel=2,
