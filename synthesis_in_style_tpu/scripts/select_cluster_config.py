@@ -19,8 +19,13 @@ semantics):
   right-side text cluster existing — a layer/k that mixes stroke types
   scores low, exactly the round-3 failure mode (handwritten dice 0.002 from
   dark-left fractions 0.4-0.6 at a blanket k=12).
-* fine-grained score: ink F1 — how much of the page's dark mass the text
-  clusters capture (recall) at how little paper contamination (precision).
+* fine-grained score: ink F-beta (beta=2 by default, recall-weighted) —
+  how much of the page's dark mass the text clusters capture at how little
+  paper contamination. Recall dominates deliberately: a fine layer that
+  labels only SOME visually-identical strokes (high precision, low recall)
+  gives contradictory supervision and the downstream segmenter collapses to
+  background — measured in round 4 (text dice 0.02 with P=0.76/R=0.72
+  labels vs 0.24 with blobby P=0.5/R=0.9 labels; MEASUREMENTS.md).
 
 All statistics run ON DEVICE: cluster assignment is the bucketed matmul
 (`assign_euclidean_bucketed`), per-cluster sums are one one-hot matmul per
@@ -62,7 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--right-class", default="handwritten_text")
     parser.add_argument("--background-class", default="background")
     parser.add_argument("--num-cd-layers", type=int, default=2)
-    parser.add_argument("--num-fg-layers", type=int, default=2)
+    parser.add_argument("--num-fg-layers", type=int, default=3)
+    parser.add_argument("--fg-beta", type=float, default=2.0,
+                        help="F-beta weight for the fine-grained ink score "
+                        "(recall-weighted by default; see module docstring)")
     parser.add_argument("--min-cd-resolution", type=int, default=16,
                         help="class-determination candidates need at least "
                         "this feature-map resolution")
@@ -79,6 +87,7 @@ def score_stats(
     stats: np.ndarray,  # (k, 5): [n, n_dark, n_dark_left, lum_sum, n_left]
     dark_fraction: float,
     left_threshold: float,
+    fg_beta: float = 2.0,
 ) -> dict:
     """Host-side scoring of one (layer, k) stats table (module docstring)."""
     n = stats[:, 0]
@@ -103,8 +112,9 @@ def score_stats(
     recall = float(captured / total_dark) if total_dark > 0 else 0.0
     text_n = np.where(text, n, 0.0).sum()
     precision = float(captured / text_n) if text_n > 0 else 0.0
+    b2 = fg_beta * fg_beta
     fg_score = (
-        2 * precision * recall / (precision + recall)
+        (1 + b2) * precision * recall / (b2 * precision + recall)
         if precision + recall > 0 else 0.0
     )
     return {
@@ -235,7 +245,8 @@ def main(argv=None) -> int:
     scored_all = {}
     for (layer, k), s in acc.items():
         stats = np.asarray(s)[:k]
-        scored = score_stats(stats, args.dark_fraction, args.left_threshold)
+        scored = score_stats(stats, args.dark_fraction, args.left_threshold,
+                             args.fg_beta)
         scored_all[(layer, k)] = scored
         rows.append({
             "layer": layer, "k": k, "resolution": resolutions[layer],
