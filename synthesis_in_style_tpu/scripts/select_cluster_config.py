@@ -61,7 +61,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-n", "--num-samples", type=int, default=64)
     parser.add_argument("-b", "--batch-size", type=int, default=8)
     parser.add_argument("--dark-threshold", type=float, default=0.55)
-    parser.add_argument("--dark-fraction", type=float, default=0.4)
+    parser.add_argument("--dark-fraction", type=float, default=0.4,
+                        help="min dark fraction for an INK (fine-grained) "
+                        "text cluster")
+    parser.add_argument("--cd-dark-fraction", type=float, default=0.15,
+                        help="min dark fraction for a REGION "
+                        "(class-determination) text cluster — coarse-layer "
+                        "clusters over sparse handwriting mix strokes with "
+                        "paper, so region semantics need a lower bar than "
+                        "ink semantics (the fixture's squiggle areas are "
+                        "~0.2-0.35 dark while printed line blocks are "
+                        ">0.4; a single threshold silently drops the "
+                        "handwritten REGIONS and the rendered dataset "
+                        "starves that class)")
     parser.add_argument("--left-threshold", type=float, default=0.6)
     parser.add_argument("--left-class", default="printed_text")
     parser.add_argument("--right-class", default="handwritten_text")
@@ -240,22 +252,27 @@ def main(argv=None) -> int:
                 acc[key] = s if prev is None else prev + s
         done += z.shape[0]
 
-    # host scoring
+    # host scoring — REGION semantics (cd threshold) and INK semantics
+    # (fg threshold) scored separately per (layer, k)
     rows = []
-    scored_all = {}
+    scored_cd_all = {}
+    scored_fg_all = {}
     for (layer, k), s in acc.items():
         stats = np.asarray(s)[:k]
-        scored = score_stats(stats, args.dark_fraction, args.left_threshold,
-                             args.fg_beta)
-        scored_all[(layer, k)] = scored
+        scored_cd = score_stats(stats, args.cd_dark_fraction,
+                                args.left_threshold, args.fg_beta)
+        scored_fg = score_stats(stats, args.dark_fraction,
+                                args.left_threshold, args.fg_beta)
+        scored_cd_all[(layer, k)] = scored_cd
+        scored_fg_all[(layer, k)] = scored_fg
         rows.append({
             "layer": layer, "k": k, "resolution": resolutions[layer],
-            "cd_score": round(scored["cd_score"], 4),
-            "fg_score": round(scored["fg_score"], 4),
-            "purity": round(scored["purity"], 4),
-            "both_sides": scored["both_sides"],
-            "ink_recall": round(scored["ink_recall"], 4),
-            "ink_precision": round(scored["ink_precision"], 4),
+            "cd_score": round(scored_cd["cd_score"], 4),
+            "fg_score": round(scored_fg["fg_score"], 4),
+            "purity": round(scored_cd["purity"], 4),
+            "both_sides": scored_cd["both_sides"],
+            "ink_recall": round(scored_fg["ink_recall"], 4),
+            "ink_precision": round(scored_fg["ink_precision"], 4),
         })
     rows.sort(key=lambda r: (int(r["layer"]), r["k"]))
     for r in rows:
@@ -271,9 +288,10 @@ def main(argv=None) -> int:
     best_cd = {}
     best_fg = {}
     for layer in layer_ids:
-        ks_scored = [(k, scored_all[(layer, k)]) for k in args.ks]
-        bk_cd = max(ks_scored, key=lambda kv: kv[1]["cd_score"])
-        bk_fg = max(ks_scored, key=lambda kv: kv[1]["fg_score"])
+        cd_scored = [(k, scored_cd_all[(layer, k)]) for k in args.ks]
+        fg_scored = [(k, scored_fg_all[(layer, k)]) for k in args.ks]
+        bk_cd = max(cd_scored, key=lambda kv: kv[1]["cd_score"])
+        bk_fg = max(fg_scored, key=lambda kv: kv[1]["fg_score"])
         best_cd[layer] = (bk_cd[0], bk_cd[1]["cd_score"])
         best_fg[layer] = (bk_fg[0], bk_fg[1]["fg_score"])
 
@@ -302,12 +320,17 @@ def main(argv=None) -> int:
     composed = {}
     label_map = {}
     for layer in cd_layers + [l for l in fg_layers if l not in cd_layers]:
-        role_best = best_cd if layer in cd_layers else best_fg
-        k = role_best[layer][0]
+        # cd layers take REGION labels at their best cd k; pure fg layers
+        # take INK labels at their best fg k (a layer in both roles keeps
+        # the cd choice — the pipeline reads one label map per layer)
+        if layer in cd_layers:
+            k = best_cd[layer][0]
+            scored = scored_cd_all[(layer, k)]
+        else:
+            k = best_fg[layer][0]
+            scored = scored_fg_all[(layer, k)]
         composed[layer] = catalogs_per_k[k][layer]
-        label_map[layer] = labels_from_stats(
-            scored_all[(layer, k)], k, args
-        )
+        label_map[layer] = labels_from_stats(scored, k, args)
     save_catalogs(composed, sem_dir / "catalogs" / f"{tag}.npz")
     (sem_dir / f"merged_classes_{tag}.json").write_text(
         json.dumps(label_map)
