@@ -100,14 +100,27 @@ def score_stats(
     dark_fraction: float,
     left_threshold: float,
     fg_beta: float = 2.0,
+    region: bool = False,
 ) -> dict:
-    """Host-side scoring of one (layer, k) stats table (module docstring)."""
+    """Host-side scoring of one (layer, k) stats table (module docstring).
+
+    `region=True` (class-determination semantics): a text cluster's side is
+    judged by its AREA (n_left/n), not by where its ink sits — the rendered
+    pipeline paints the cluster's full extent into the class region, so an
+    ink-side-pure cluster whose area straddles the page still mislabels
+    every stroke inside its far-side extent (measured: sel3's cd layer had
+    dark-side purity 0.998 yet the dataset's handwritten labels were only
+    46% right-half by area)."""
     n = stats[:, 0]
     with np.errstate(divide="ignore", invalid="ignore"):
         dark_frac = np.where(n > 0, stats[:, 1] / np.maximum(n, 1), 0.0)
-        left_frac = stats[:, 2] / np.maximum(stats[:, 1], 1.0)
+        if region:
+            left_frac = stats[:, 4] / np.maximum(n, 1.0)
+        else:
+            left_frac = stats[:, 2] / np.maximum(stats[:, 1], 1.0)
     text = dark_frac > dark_fraction
-    text_dark = np.where(text, stats[:, 1], 0.0)
+    weight = np.where(text, n, 0.0) if region else np.where(text, stats[:, 1], 0.0)
+    text_dark = weight
     purity_per = 2.0 * np.abs(left_frac - 0.5)
     total_text_dark = text_dark.sum()
     purity = (
@@ -260,7 +273,8 @@ def main(argv=None) -> int:
     for (layer, k), s in acc.items():
         stats = np.asarray(s)[:k]
         scored_cd = score_stats(stats, args.cd_dark_fraction,
-                                args.left_threshold, args.fg_beta)
+                                args.left_threshold, args.fg_beta,
+                                region=True)
         scored_fg = score_stats(stats, args.dark_fraction,
                                 args.left_threshold, args.fg_beta)
         scored_cd_all[(layer, k)] = scored_cd

@@ -65,3 +65,20 @@ def test_empty_clusters_do_not_crash():
     stats = make_stats([[0, 0, 0, 0, 0], [100, 0, 0, 90, 50]])
     s = score_stats(stats, dark_fraction=0.4, left_threshold=0.6)
     assert s["cd_score"] == 0.0 and s["fg_score"] == 0.0
+
+
+def test_region_semantics_judges_area_not_ink():
+    """A cluster whose ink is side-pure but whose AREA straddles the page
+    must score low as a REGION (the pipeline paints its full extent) while
+    still scoring high under ink semantics (sel3 failure mode)."""
+    # n=1000, dark=300 all on the right (dark_left=0), area half-left
+    stats = make_stats([
+        [1000, 300, 0, 600, 500],
+        [1000, 280, 270, 610, 480],  # counterpart: ink mostly left
+        [8000, 100, 50, 7200, 4000],
+    ])
+    ink = score_stats(stats, dark_fraction=0.15, left_threshold=0.6)
+    region = score_stats(stats, dark_fraction=0.15, left_threshold=0.6,
+                         region=True)
+    assert ink["purity"] > 0.9       # ink sides are pure
+    assert region["purity"] < 0.1    # areas straddle the page
