@@ -68,6 +68,9 @@ def get_dataset_segmenter(
             ],
             num_clusters=args.num_clusters,
             min_class_contour_area=creation_config["min_class_contour_area"],
+            clip_to_class_regions=creation_config.get(
+                "clip_to_class_regions", False
+            ),
         )
     elif creation_config["segmenter_type"] == "dataset_gan":
         from synthesis_in_style_tpu.segmentation.dataset_gan_segmenter import (

@@ -361,6 +361,11 @@ def main(argv=None) -> int:
         "keys_to_merge": {},
         "segmenter_type": "black_white_handwritten_printed",
         "only_keep_overlapping": False,
+        # purity-selected regions are side-consistent by construction, so
+        # clip each class's paint to its own region mask (the measured
+        # cross-region leak of whole-contour classification; see
+        # dataset_segmenter.clip_to_class_regions)
+        "clip_to_class_regions": True,
         "min_class_contour_area": args.min_class_contour_area,
         "seed": 1,
     }

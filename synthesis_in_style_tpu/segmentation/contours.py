@@ -404,15 +404,22 @@ def render_segmentation_image(
     image_size: int,
     class_to_color_map: Dict[str, Tuple[int, int, int]],
     cluster_class_name: str = "printed_text",
+    class_clip_masks: Optional[Dict[str, np.ndarray]] = None,
 ) -> np.ndarray:
     """Paint (contour mask AND fine cluster mask) per class onto a
     background-colored canvas (reference :408-450). Returns
-    (B, H, W, 3) uint8."""
+    (B, H, W, 3) uint8.
+
+    `class_clip_masks` ({class: (B, H, W) bool}) additionally limits each
+    class's paint to its own class-determination region mask (the opt-in
+    `clip_to_class_regions` semantics, dataset_segmenter.py)."""
     fine_masks = {
         name: np.asarray(mask) for name, mask in fine_grained_prediction.items()
     }
 
     lib = _native()
+    if class_clip_masks is not None:
+        lib = None  # clip masks are painted per class: pure path only
     if lib is not None:
         from synthesis_in_style_tpu.native.contour_engine import render_native
 
@@ -472,6 +479,8 @@ def render_segmentation_image(
                 fine_mask = np.where(
                     contour_mask, fine_masks[cluster_class_name][batch_id], False
                 )
+                if class_clip_masks is not None:
+                    fine_mask &= class_clip_masks[class_name][batch_id]
                 canvas[fine_mask] = class_to_color_map[class_name]
         return canvas
 

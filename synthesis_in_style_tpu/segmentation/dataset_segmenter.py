@@ -99,6 +99,7 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
         num_clusters: int,
         min_class_contour_area: float,
         only_keep_overlapping: bool = True,
+        clip_to_class_regions: bool = False,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -112,6 +113,14 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
         self.handwriting_overlap_threshold = 0.5
         self.min_class_contour_area = min_class_contour_area
         self.only_keep_overlapping = only_keep_overlapping
+        # Beyond-reference opt-in (creation-config key): clip each class's
+        # painted labels to that class's OWN class-determination mask. The
+        # reference assigns a whole fine contour to its max-overlap class
+        # (:342-392), so one merged contour spanning two regions leaks the
+        # wrong class across the boundary — measured on the round-4 capstone
+        # (handwritten labels 46% on the printed side of the page without
+        # clipping; MEASUREMENTS.md "Round 4 capstone").
+        self.clip_to_class_regions = clip_to_class_regions
         self.class_label_map = self.load_class_label_map()
 
     # ---------------- artifact loading ----------------
@@ -380,6 +389,7 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
     def render_segmentation_image(
         self, fine_grained_prediction, classified_contours, batch_size,
         cluster_class_name: str = "printed_text",
+        class_clip_masks=None,
     ) -> np.ndarray:
         return contour_ops.render_segmentation_image(
             {k: np.asarray(v) for k, v in fine_grained_prediction.items()},
@@ -388,6 +398,7 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
             self.image_size,
             self.class_to_color_map,
             cluster_class_name,
+            class_clip_masks=class_clip_masks,
         )
 
 
@@ -588,10 +599,36 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         classified = self.drop_too_small_contours(classified)
         image_ids_to_drop = self.determine_images_to_drop(classified)
 
+        class_clip_masks = None
+        if self.clip_to_class_regions:
+            # each class's paint limited to its own (dilated) merged
+            # class-determination mask — see __init__ docstring
+            import cv2
+
+            kernel = np.ones((5, 5), np.uint8)
+            class_clip_masks = {}
+            for class_name in self.class_to_color_map:
+                if class_name == "background":
+                    continue
+                mask = reduce(
+                    np.logical_or,
+                    [
+                        np.asarray(predicted_clusters[key][class_name])
+                        for key in self.keys_for_class_determination
+                    ],
+                )
+                class_clip_masks[class_name] = np.stack(
+                    [
+                        cv2.dilate(m.astype(np.uint8), kernel, iterations=2)
+                        for m in mask
+                    ]
+                ).astype(bool)
+
         segmentation_images = self.render_segmentation_image(
             predicted_clusters[self.keys_for_finegrained_segmentation[-1]],
             classified,
             batch_size,
             cluster_class_name="printed_text",
+            class_clip_masks=class_clip_masks,
         )
         return segmentation_images, image_ids_to_drop
