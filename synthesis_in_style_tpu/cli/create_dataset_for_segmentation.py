@@ -71,6 +71,7 @@ def get_dataset_segmenter(
             clip_to_class_regions=creation_config.get(
                 "clip_to_class_regions", False
             ),
+            fine_mask_dilation=creation_config.get("fine_mask_dilation", 0),
         )
     elif creation_config["segmenter_type"] == "dataset_gan":
         from synthesis_in_style_tpu.segmentation.dataset_gan_segmenter import (

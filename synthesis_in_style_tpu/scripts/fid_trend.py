@@ -67,16 +67,23 @@ def main(argv=None) -> int:
         paths = sorted(image_dir.glob("*.png"))
     paths = paths[: args.num_samples]
 
-    def real_loader():
-        for i in range(0, len(paths), args.batch):
-            chunk = paths[i : i + args.batch]
-            imgs = [
-                np.asarray(
-                    Image.open(p).convert("RGB").resize((size, size))
-                ).astype(np.float32) / 127.5 - 1.0
-                for p in chunk
-            ]
-            yield {"images": np.stack(imgs)}
+    class RealLoader:
+        """Duck-typed loader for FID.calculate_statistics_for_real_images
+        (needs .infinite() yielding {'images': batch})."""
+
+        def infinite(self):
+            while True:
+                for i in range(0, len(paths), args.batch):
+                    chunk = paths[i : i + args.batch]
+                    imgs = [
+                        np.asarray(
+                            Image.open(p).convert("RGB").resize((size, size))
+                        ).astype(np.float32) / 127.5 - 1.0
+                        for p in chunk
+                    ]
+                    yield {"images": np.stack(imgs)}
+
+    real_loader = RealLoader
 
     # ONE embedding instance for every checkpoint — the trend is only
     # meaningful against fixed features + fixed real statistics
@@ -85,6 +92,7 @@ def main(argv=None) -> int:
         latent_size=config.get("latent_size", 512),
         batch_size=args.batch,
         seed=42,
+        batch_image_key="images",
     )
 
     results = {}

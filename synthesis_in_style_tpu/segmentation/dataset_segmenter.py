@@ -100,6 +100,7 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
         min_class_contour_area: float,
         only_keep_overlapping: bool = True,
         clip_to_class_regions: bool = False,
+        fine_mask_dilation: int = 0,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -121,6 +122,13 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
         # (handwritten labels 46% on the printed side of the page without
         # clipping; MEASUREMENTS.md "Round 4 capstone").
         self.clip_to_class_regions = clip_to_class_regions
+        # Beyond-reference opt-in: dilate the painted ink mask by N 3x3
+        # iterations. Stroke-exact labels are measurably UNLEARNABLE for
+        # DocUFCN at 128px (val text dice 0.001 vs 0.24 for blobby labels,
+        # MEASUREMENTS.md round-4 capstone) — the reference's low-precision
+        # clusters provided this halo by accident; with purity-selected
+        # catalogs it must be explicit.
+        self.fine_mask_dilation = int(fine_mask_dilation)
         self.class_label_map = self.load_class_label_map()
 
     # ---------------- artifact loading ----------------
@@ -624,8 +632,26 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
                     ]
                 ).astype(bool)
 
+        fine_prediction = predicted_clusters[
+            self.keys_for_finegrained_segmentation[-1]
+        ]
+        if self.fine_mask_dilation > 0:
+            import cv2
+
+            kernel = np.ones((3, 3), np.uint8)
+            fine_prediction = {
+                name: np.stack([
+                    cv2.dilate(
+                        np.asarray(m).astype(np.uint8), kernel,
+                        iterations=self.fine_mask_dilation,
+                    )
+                    for m in np.asarray(mask)
+                ]).astype(bool)
+                for name, mask in fine_prediction.items()
+            }
+
         segmentation_images = self.render_segmentation_image(
-            predicted_clusters[self.keys_for_finegrained_segmentation[-1]],
+            fine_prediction,
             classified,
             batch_size,
             cluster_class_name="printed_text",
