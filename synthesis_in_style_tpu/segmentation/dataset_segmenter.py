@@ -298,6 +298,8 @@ class BaseClusterBasedDatasetSegmenter(BaseDatasetSegmenter):
         "min_class_contour_area",
         "only_keep_overlapping",
         "handwriting_overlap_threshold",
+        "clip_to_class_regions",
+        "fine_mask_dilation",
     )
 
     def contour_spec(self) -> Dict:
@@ -608,7 +610,9 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         image_ids_to_drop = self.determine_images_to_drop(classified)
 
         class_clip_masks = None
-        if self.clip_to_class_regions:
+        # getattr: contour-spec rebuilt workers and legacy specs may lack
+        # the opt-in attrs
+        if getattr(self, "clip_to_class_regions", False):
             # each class's paint limited to its own (dilated) merged
             # class-determination mask — see __init__ docstring
             import cv2
@@ -635,7 +639,7 @@ class BlackWhiteHandwrittenPrintedTextDatasetSegmenter(BaseClusterBasedDatasetSe
         fine_prediction = predicted_clusters[
             self.keys_for_finegrained_segmentation[-1]
         ]
-        if self.fine_mask_dilation > 0:
+        if getattr(self, "fine_mask_dilation", 0) > 0:
             import cv2
 
             kernel = np.ones((3, 3), np.uint8)
