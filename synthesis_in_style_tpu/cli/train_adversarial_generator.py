@@ -240,6 +240,16 @@ def main(args: argparse.Namespace) -> None:
     trainer.extend(
         LogWriter(log_dir, trigger=(int(config.get("log_iter", 10)), "iteration"))
     )
+    # live collapse monitor (VERDICT r4 #3) — D-loss signature only here
+    # (no FID evaluator in the adversarial trainer); on by default
+    alarm_cfg = dict(config.get("quality_alarm") or {})
+    if alarm_cfg.pop("enabled", True):
+        from synthesis_in_style_tpu.core.extensions import DivergenceAlarm
+
+        alarm_cfg.setdefault("d_loss_key", "discriminator/loss")
+        trainer.extend(DivergenceAlarm(
+            trigger=(1, "epoch"), log_dir=log_dir, **alarm_cfg,
+        ))
     trainer.train()
 
 

@@ -173,6 +173,36 @@ def main(args: argparse.Namespace) -> None:
             print(f"--resume-ckpt latest: resuming {found} "
                   f"at iteration {resume_iteration}")
             config["resume_ckpt"] = str(found)
+    if config.get("init_ckpt") and not config.get("resume_ckpt"):
+        # weights-only, shape-tolerant warm start — e.g. seed a 256px run
+        # from a converged 128px checkpoint (VERDICT r4 #2: the cold 256px
+        # start mode-collapsed); optimizers/iteration stay fresh
+        from synthesis_in_style_tpu.core.config import (
+            load_config_from_checkpoint,
+        )
+        from synthesis_in_style_tpu.utils.checkpoint import (
+            load_pytree,
+            merge_matching_leaves,
+            upscale_gan_snapshot_tree,
+        )
+
+        init_path = Path(config["init_ckpt"])
+        src_config = load_config_from_checkpoint(init_path, None)
+        src_size = int(src_config.get("image_size", config["image_size"]))
+        tree = load_pytree(init_path)
+        tree = upscale_gan_snapshot_tree(
+            tree, src_size, int(config["image_size"])
+        )
+        for key, attr in (("generator", "g_params"),
+                          ("discriminator", "d_params"),
+                          ("g_ema", "g_ema"), ("g_noises", "g_noises")):
+            if key in tree:
+                merged, copied, fresh = merge_matching_leaves(
+                    getattr(state, attr), tree[key]
+                )
+                state = state.replace(**{attr: merged})
+                print(f"warm start {key} from {src_size}px: {copied} leaves "
+                      f"copied, {fresh} kept fresh")
     if config.get("resume_ckpt"):
         from synthesis_in_style_tpu.updaters.stylegan2_updater import (
             restore_gan_snapshot,
@@ -304,6 +334,17 @@ def main(args: argparse.Namespace) -> None:
         except (ImportError, FileNotFoundError) as e:
             print(f"FID extension unavailable: {e}")
 
+    # live collapse/divergence monitor — on by default (VERDICT r4 #3: the
+    # r4 256px run mode-collapsed ~2k iters in and burned 1.8 h undetected);
+    # `quality_alarm: {abort: true}` makes a diverging run stop itself
+    alarm_cfg = dict(config.get("quality_alarm") or {})
+    if alarm_cfg.pop("enabled", True) and not args.debug:
+        from synthesis_in_style_tpu.core.extensions import DivergenceAlarm
+
+        trainer.extend(DivergenceAlarm(
+            trigger=(1, "epoch"), log_dir=log_dir, **alarm_cfg,
+        ))
+
     trainer.extend(
         LogWriter(
             log_dir,
@@ -336,6 +377,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "restores iteration + data position from the newest "
                         "snapshot across this run's timestamped attempts "
                         "(preemption resume)")
+    parser.add_argument("--init-ckpt", dest="init_ckpt", default=None,
+                        help="weights-only shape-tolerant warm start (e.g. "
+                        "seed a 256px run from a 128px checkpoint); "
+                        "optimizers and iteration start fresh")
     parser.add_argument("-c", "--cache-root", default=None)
     # reference train_stylegan_2.py:201 — the variant flag; merged into
     # config["stylegan_variant"] by merge_config_and_args when passed

@@ -173,6 +173,113 @@ class Evaluator(Extension):
         metrics = self.eval_fn(trainer)
         if metrics:
             trainer.reporter.add_observation(metrics, prefix=self.prefix)
+            # expose the latest eval to same-cadence monitors (DivergenceAlarm
+            # runs at a later priority and reads this instead of re-evaluating)
+            trainer.last_evaluation = {
+                "iteration": trainer.updater.iteration,
+                **{k: float(v) for k, v in metrics.items()},
+            }
 
     def finalize(self, trainer: Trainer):
         self.run(trainer)
+
+
+class TrainingDiverged(RuntimeError):
+    """Raised by DivergenceAlarm(abort=True); the Trainer's finally block
+    still finalizes snapshots/log flushes on the way out."""
+
+
+class DivergenceAlarm(Extension):
+    """Live generator-quality monitor with a collapse/divergence alarm.
+
+    The round-4 256px GAN run mode-collapsed ~2k iterations in and burned
+    1.8 h undetected (MEASUREMENTS.md "256px trained-GAN attempt") — the
+    reference's only quality loop is a human reading FIDScore logs
+    (reference extensions/fid_score.py:16-39). This extension watches two
+    measured collapse signatures every trigger firing:
+
+    * ``fid_divergence``: the FID evaluator's relative-FID trend rises for
+      ``fid_rising_evals`` consecutive evaluations (same pinned embedding =>
+      relative comparisons are meaningful, scripts/fid_trend.py).
+    * ``d_collapse``: the mean train/discriminator_loss of the current
+      reporter window stays below ``d_loss_eps`` for ``d_loss_checks``
+      consecutive checks — the r4 collapse ran d_loss 0.003-0.006 (vs
+      g_loss 6.6-6.9) while healthy runs settle at 0.01-0.03.
+
+    On alarm: logs loudly, writes ``alarm.json`` under the run's log dir,
+    reports ``alarm/<kind>``; with ``abort=True`` raises TrainingDiverged.
+    """
+
+    priority = 260  # after Evaluator (250): sees this firing's FID
+
+    def __init__(self, trigger, log_dir=None, fid_key: str = "fid_score",
+                 d_loss_key: str = "train/discriminator_loss",
+                 fid_rising_evals: int = 4, d_loss_eps: float = 0.008,
+                 d_loss_checks: int = 6, warmup_iterations: int = 500,
+                 abort: bool = False):
+        super().__init__(trigger)
+        self.log_dir = Path(log_dir) if log_dir else None
+        self.fid_key = fid_key
+        self.d_loss_key = d_loss_key
+        self.fid_rising_evals = int(fid_rising_evals)
+        self.d_loss_eps = float(d_loss_eps)
+        self.d_loss_checks = int(d_loss_checks)
+        self.warmup_iterations = int(warmup_iterations)
+        self.abort = bool(abort)
+        self.fid_history: list = []
+        self._low_d_streak = 0
+        self._seen_eval_iteration = -1
+
+    def _window_mean(self, trainer: Trainer, key: str) -> Optional[float]:
+        """Mean of the CURRENT (undrained) reporter window for `key` —
+        peeks without clearing so the LogWriter's flush is untouched."""
+        values = trainer.reporter._values.get(key)
+        if not values:
+            return None
+        host = jax.device_get(list(values))
+        return float(np.mean([float(v) for v in host]))
+
+    def _fire(self, trainer: Trainer, kind: str, detail: dict):
+        logger.error("DIVERGENCE ALARM [%s] at iteration %d: %s",
+                     kind, trainer.updater.iteration, detail)
+        print(f"*** DIVERGENCE ALARM [{kind}] at iteration "
+              f"{trainer.updater.iteration}: {detail} ***", flush=True)
+        trainer.reporter.add_observation({kind: 1.0}, prefix="alarm")
+        if self.log_dir and _is_main_process():
+            self.log_dir.mkdir(parents=True, exist_ok=True)
+            (self.log_dir / "alarm.json").write_text(json.dumps({
+                "kind": kind, "iteration": trainer.updater.iteration,
+                "detail": detail, "fid_history": self.fid_history,
+            }))
+        if self.abort:
+            raise TrainingDiverged(f"{kind} at iteration "
+                                   f"{trainer.updater.iteration}: {detail}")
+
+    def run(self, trainer: Trainer):
+        it = trainer.updater.iteration
+        last_eval = getattr(trainer, "last_evaluation", None)
+        if (last_eval is not None and self.fid_key in last_eval
+                and last_eval["iteration"] > self._seen_eval_iteration):
+            self._seen_eval_iteration = last_eval["iteration"]
+            self.fid_history.append(
+                [last_eval["iteration"], float(last_eval[self.fid_key])]
+            )
+            n = self.fid_rising_evals
+            if len(self.fid_history) > n:
+                tail = [f for _, f in self.fid_history[-(n + 1):]]
+                if all(b > a for a, b in zip(tail, tail[1:])):
+                    self._fire(trainer, "fid_divergence", {
+                        "rising_evals": n, "fid_tail": tail})
+
+        if it >= self.warmup_iterations:
+            d_mean = self._window_mean(trainer, self.d_loss_key)
+            if d_mean is not None:
+                self._low_d_streak = (
+                    self._low_d_streak + 1 if d_mean < self.d_loss_eps else 0
+                )
+                if self._low_d_streak >= self.d_loss_checks:
+                    streak = self._low_d_streak
+                    self._low_d_streak = 0
+                    self._fire(trainer, "d_collapse", {
+                        "window_mean_d_loss": d_mean,
+                        "eps": self.d_loss_eps, "checks": streak})

@@ -286,4 +286,11 @@ def make_fid_extension(gen, state_fn: Callable, config: dict,
         model_fn = partial(sample, state.g_ema, state.g_noises)
         return {"fid_score": fid(model_fn, loader, dataset_path=val_json)}
 
-    return Evaluator(eval_fn, trigger=(1, "epoch"), prefix="evaluation")
+    # `fid_eval_iter: N` evaluates every N iterations instead of per epoch
+    # — on small datasets an epoch is tens of iterations and a per-epoch
+    # 1000-sample FID dominates wall-clock over a remote device link
+    trigger = (
+        (int(config["fid_eval_iter"]), "iteration")
+        if config.get("fid_eval_iter") else (1, "epoch")
+    )
+    return Evaluator(eval_fn, trigger=trigger, prefix="evaluation")

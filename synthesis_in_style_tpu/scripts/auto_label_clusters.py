@@ -1,14 +1,18 @@
 """Heuristic cluster auto-labelling — a scriptable stand-in for the human
-semantic-labeller step (labeller/app.py), used by the round-3 trained-quality
+semantic-labeller step (labeller/app.py), used by the trained-quality
 capstone (MEASUREMENTS.md).
 
 For each (layer, cluster) of the fitted catalogs it samples N images through
-the trained generator, assigns clusters, and labels by luminance + position
-statistics: clusters whose pixels are mostly dark become text, split into
-`left_class` / `right_class` by where their dark pixels sit. This encodes
-the capstone fixture's layout prior (printed LEFT, handwriting RIGHT); real
-collections need the human labeller — this exists so the full-chain
-capstone is reproducible end-to-end without interaction.
+the trained generator, assigns clusters, and labels by luminance plus a
+class statistic: clusters whose pixels are mostly dark become text, split
+into `left_class` / `right_class` by `--mode`:
+
+* ``appearance`` (default): by stroke appearance — the printed-like share
+  of the cluster's ink under a horizontal-minus-vertical-run box filter
+  (straight printed strokes ~0.98, curvy handwriting ~0.09), the same
+  signal a human uses in the labeller UI.
+* ``side``: the legacy round-3/4 layout prior (printed LEFT, handwriting
+  RIGHT) for position-coded fixtures.
 
     python -m synthesis_in_style_tpu.scripts.auto_label_clusters \
         <checkpoint> <semantic_segmentation_dir> -k 12 [-n 32]
@@ -40,6 +44,13 @@ def main(argv=None) -> int:
     parser.add_argument("--left-threshold", type=float, default=0.6,
                         help="dark pixels left-half fraction above which a "
                         "text cluster is `left_class`")
+    parser.add_argument("--mode", choices=("appearance", "side"),
+                        default="appearance",
+                        help="class split: stroke appearance (default) or "
+                        "the legacy left/right position prior")
+    parser.add_argument("--run-len-frac", type=float, default=0.07)
+    parser.add_argument("--printed-margin", type=float, default=0.35)
+    parser.add_argument("--printed-frac-threshold", type=float, default=0.55)
     parser.add_argument("--left-class", default="printed_text")
     parser.add_argument("--right-class", default="handwritten_text")
     parser.add_argument("--background-class", default="background")
@@ -76,7 +87,10 @@ def main(argv=None) -> int:
     stream = build_latent_and_noise_generator(config, seed=7)
     size = config["image_size"]
     xfrac = np.broadcast_to((np.arange(size) + 0.5) / size, (size, size))
-    # per (layer, cluster): [sum_lum, dark_left, n_dark, n_total]
+    run_len = max(5, int(round(size * args.run_len_frac)) | 1)
+    # per (layer, cluster): [sum_lum, class_feature_count, n_dark, n_total]
+    # where class_feature_count is dark&left (side) or dark&printed_like
+    # (appearance)
     stats = {layer: np.zeros((k, 4), np.float64) for layer in catalogs}
 
     done = 0
@@ -88,6 +102,20 @@ def main(argv=None) -> int:
         img, acts = generate(z)
         img = np.asarray(jnp.clip((img + 1) / 2, 0, 1))
         lum = img.mean(axis=-1)
+        if args.mode == "appearance":
+            import cv2
+
+            dark_f = (lum < args.dark_threshold).astype(np.float32)
+            class_feat = np.empty_like(dark_f, dtype=bool)
+            for b in range(dark_f.shape[0]):
+                kh = np.ones((1, run_len), np.float32) / run_len
+                hrun = cv2.filter2D(dark_f[b], -1, kh,
+                                    borderType=cv2.BORDER_CONSTANT)
+                vrun = cv2.filter2D(dark_f[b], -1, kh.T,
+                                    borderType=cv2.BORDER_CONSTANT)
+                class_feat[b] = (hrun - vrun) > args.printed_margin
+        else:
+            class_feat = np.broadcast_to(xfrac, lum.shape) < 0.5
         for layer, cat in catalogs.items():
             a = acts[int(layer)]
             h, w = a.shape[1:3]
@@ -102,24 +130,28 @@ def main(argv=None) -> int:
                     continue
                 s = stats[layer][cl]
                 dark = m & (lum < args.dark_threshold)
-                xb = np.broadcast_to(xfrac, m.shape)
                 s[0] += lum[m].sum()
-                s[1] += (dark & (xb < 0.5)).sum()
+                s[1] += (dark & class_feat).sum()
                 s[2] += dark.sum()
                 s[3] += n
         done += img.shape[0]
 
+    class_threshold = (
+        args.printed_frac_threshold
+        if args.mode == "appearance" else args.left_threshold
+    )
+    feat_name = "printed" if args.mode == "appearance" else "dark_left"
     label_map = {}
     for layer, s in stats.items():
         label_map[layer] = {}
         for cl in range(k):
             n = s[cl, 3]
             dark_frac = s[cl, 2] / n if n else 0.0
-            left_frac = s[cl, 1] / max(1.0, s[cl, 2])
+            class_frac = s[cl, 1] / max(1.0, s[cl, 2])
             if dark_frac > args.dark_fraction:
                 name = (
                     args.left_class
-                    if left_frac >= args.left_threshold
+                    if class_frac >= class_threshold
                     else args.right_class
                 )
             else:
@@ -127,7 +159,7 @@ def main(argv=None) -> int:
             label_map[layer][str(cl)] = name
             print(
                 f"layer {layer} cluster {cl}: dark={dark_frac:.2f} "
-                f"dark_left={left_frac:.2f} -> {name}"
+                f"{feat_name}={class_frac:.2f} -> {name}"
             )
 
     out = sem_dir / f"merged_classes_{k}.json"

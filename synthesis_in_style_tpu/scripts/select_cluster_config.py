@@ -10,15 +10,21 @@ which layers carve the ink strokes (`keys_for_finegrained_segmentation`),
 and which k the labelled catalog uses — picked by a human inspecting the
 k=3..24 sweep of create_semantic_segmentation (reference
 create_semantic_segmentation.py:181-187) in the labeller UI. This script
-replaces that inspection with measured statistics on the capstone fixture's
-layout prior (printed LEFT, handwriting RIGHT — scripts/auto_label_clusters
-semantics):
+replaces that inspection with measured per-cluster statistics. The default
+`--class-mode appearance` classifies text clusters by STROKE APPEARANCE —
+the printed-like share of their ink under a horizontal-minus-vertical-run
+box filter (straight ruled/printed strokes score ~0.98, curvy handwriting
+~0.09 on the fixture) — the same signal a human uses in the labeller UI,
+and one that transfers to any collection where classes differ by
+appearance. `--class-mode side` keeps the legacy round-3/4 layout prior
+(printed LEFT, handwriting RIGHT) for position-coded fixtures:
 
-* class-determination score of (layer, k): dark-pixel-weighted side purity
-  `2*|left_frac - 0.5|` over text clusters, gated on BOTH a left- and a
-  right-side text cluster existing — a layer/k that mixes stroke types
-  scores low, exactly the round-3 failure mode (handwritten dice 0.002 from
-  dark-left fractions 0.4-0.6 at a blanket k=12).
+* class-determination score of (layer, k): ink-weighted class purity
+  `2*|class_frac - 0.5|` over text clusters (class_frac = printed-like ink
+  share in appearance mode, dark-left share in side mode), gated on BOTH a
+  printed and a handwritten text cluster existing — a layer/k that mixes
+  stroke types scores low, exactly the round-3 failure mode (handwritten
+  dice 0.002 from dark-left fractions 0.4-0.6 at a blanket k=12).
 * fine-grained score: ink F-beta (beta=2 by default, recall-weighted) —
   how much of the page's dark mass the text clusters capture at how little
   paper contamination. Recall dominates deliberately: a fine layer that
@@ -75,6 +81,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "handwritten REGIONS and the rendered dataset "
                         "starves that class)")
     parser.add_argument("--left-threshold", type=float, default=0.6)
+    parser.add_argument("--class-mode", choices=("appearance", "side"),
+                        default="appearance",
+                        help="how text clusters are split into the two "
+                        "classes: 'appearance' (default) classifies by "
+                        "stroke appearance — the horizontal-run-minus-"
+                        "vertical-run box filter that separates straight "
+                        "ruled/printed strokes from curvy handwriting, the "
+                        "same signal a human uses in the reference's "
+                        "labeller UI; 'side' is the legacy round-3/4 "
+                        "position prior (printed LEFT / handwriting RIGHT) "
+                        "that only works on layout-coded fixtures")
+    parser.add_argument("--run-len-frac", type=float, default=0.07,
+                        help="appearance mode: box-filter window as a "
+                        "fraction of image size (0.07 -> 9px at 128)")
+    parser.add_argument("--printed-margin", type=float, default=0.35,
+                        help="appearance mode: a dark pixel is printed-like "
+                        "when horiz_run - vert_run exceeds this (measured "
+                        "on the fixture: printed ink 0.98, handwriting "
+                        "0.09 at window 9/128px)")
+    parser.add_argument("--printed-frac-threshold", type=float, default=0.55,
+                        help="appearance mode: text cluster is printed when "
+                        "its printed-like share of ink >= this, else "
+                        "handwritten")
     parser.add_argument("--left-class", default="printed_text")
     parser.add_argument("--right-class", default="handwritten_text")
     parser.add_argument("--background-class", default="background")
@@ -96,30 +125,46 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def score_stats(
-    stats: np.ndarray,  # (k, 5): [n, n_dark, n_dark_left, lum_sum, n_left]
+    stats: np.ndarray,  # (k, 5|6): [n, n_dark, n_dark_left, lum_sum,
+    #                                n_left, (n_dark_printed_like)]
     dark_fraction: float,
     left_threshold: float,
     fg_beta: float = 2.0,
     region: bool = False,
+    mode: str = "side",
 ) -> dict:
     """Host-side scoring of one (layer, k) stats table (module docstring).
 
-    `region=True` (class-determination semantics): a text cluster's side is
-    judged by its AREA (n_left/n), not by where its ink sits — the rendered
-    pipeline paints the cluster's full extent into the class region, so an
-    ink-side-pure cluster whose area straddles the page still mislabels
-    every stroke inside its far-side extent (measured: sel3's cd layer had
-    dark-side purity 0.998 yet the dataset's handwritten labels were only
-    46% right-half by area)."""
+    `mode="appearance"`: the class coordinate is the printed-like share of
+    the cluster's INK (column 5 / column 1) for BOTH region and ink
+    semantics — a region's ground-truth class is determined by the
+    appearance of the strokes inside it, so the side-mode area-vs-ink split
+    collapses; `region=True` then only selects the caller's laxer
+    dark-fraction threshold. This is the honest stand-in for the human
+    appearance judgment in the reference's labeller UI.
+
+    `mode="side"` + `region=True` (legacy position prior): a text cluster's
+    side is judged by its AREA (n_left/n), not by where its ink sits — the
+    rendered pipeline paints the cluster's full extent into the class
+    region, so an ink-side-pure cluster whose area straddles the page still
+    mislabels every stroke inside its far-side extent (measured: sel3's cd
+    layer had dark-side purity 0.998 yet the dataset's handwritten labels
+    were only 46% right-half by area)."""
     n = stats[:, 0]
     with np.errstate(divide="ignore", invalid="ignore"):
         dark_frac = np.where(n > 0, stats[:, 1] / np.maximum(n, 1), 0.0)
-        if region:
+        if mode == "appearance":
+            left_frac = stats[:, 5] / np.maximum(stats[:, 1], 1.0)
+        elif region:
             left_frac = stats[:, 4] / np.maximum(n, 1.0)
         else:
             left_frac = stats[:, 2] / np.maximum(stats[:, 1], 1.0)
     text = dark_frac > dark_fraction
-    weight = np.where(text, n, 0.0) if region else np.where(text, stats[:, 1], 0.0)
+    weight = (
+        np.where(text, n, 0.0)
+        if region and mode != "appearance"
+        else np.where(text, stats[:, 1], 0.0)
+    )
     text_dark = weight
     purity_per = 2.0 * np.abs(left_frac - 0.5)
     total_text_dark = text_dark.sum()
@@ -158,13 +203,19 @@ def score_stats(
 def labels_from_stats(
     scored: dict, k: int, args
 ) -> dict:
-    """Per-cluster class labels by the auto-labeller's side rule."""
+    """Per-cluster class labels: side rule (legacy) or appearance rule —
+    printed when the printed-like ink share clears the threshold."""
+    threshold = (
+        args.printed_frac_threshold
+        if getattr(args, "class_mode", "side") == "appearance"
+        else args.left_threshold
+    )
     out = {}
     for cl in range(k):
         if scored["text"][cl]:
             out[str(cl)] = (
                 args.left_class
-                if scored["left_frac"][cl] >= args.left_threshold
+                if scored["left_frac"][cl] >= threshold
                 else args.right_class
             )
         else:
@@ -212,9 +263,15 @@ def main(argv=None) -> int:
         lum = jnp.mean(jnp.clip((img + 1.0) / 2.0, 0.0, 1.0), axis=-1)
         return lum, {str(k): v for k, v in acts.items()}
 
+    run_len = max(5, int(round(size * args.run_len_frac)) | 1)
+
     def stats_fn(acts, lum, centers_p, k_pad, k_valid):
-        """(k_pad, 5) per-cluster sums of [1, dark, dark&left, lum, left]
-        at the layer's native resolution — one matmul, one tiny fetch."""
+        """(k_pad, 6) per-cluster sums of [1, dark, dark&left, lum, left,
+        dark&printed_like] at the layer's native resolution — one matmul,
+        one tiny fetch. Appearance mode computes its per-pixel features at
+        FULL page resolution (box-filter runs blur out at feature-map
+        scale) and average-pools them to the layer grid, which keeps the
+        per-cluster SUMS exact."""
         from synthesis_in_style_tpu.segmentation.kmeans import (
             assign_euclidean,
         )
@@ -222,14 +279,44 @@ def main(argv=None) -> int:
         b, h, w, _ = acts.shape
         flat = acts.reshape(-1, acts.shape[-1])
         ids = assign_euclidean(flat, centers_p, _valid_mask(k_pad, k_valid))
-        lum_small = jax.image.resize(lum, (b, h, w), method="linear")
-        dark = (lum_small < args.dark_threshold).astype(jnp.float32)
-        left = jnp.broadcast_to(
-            (jnp.arange(w) < w // 2).astype(jnp.float32), (b, h, w)
-        )
-        feats = jnp.stack(
-            [jnp.ones_like(dark), dark, dark * left, lum_small, left], axis=-1
-        ).reshape(-1, 5)
+        if args.class_mode == "appearance":
+            S = lum.shape[1]
+            dark_full = (lum < args.dark_threshold).astype(jnp.float32)
+
+            def box(x, window):
+                return jax.lax.reduce_window(
+                    x, 0.0, jax.lax.add, window, (1, 1, 1),
+                    [(0, 0)] + [(d // 2, d // 2) for d in window[1:]],
+                ) / float(run_len)
+
+            hrun = box(dark_full, (1, 1, run_len))
+            vrun = box(dark_full, (1, run_len, 1))
+            printed_like = (
+                (hrun - vrun) > args.printed_margin
+            ).astype(jnp.float32) * dark_full
+            left = jnp.broadcast_to(
+                (jnp.arange(S) < S // 2).astype(jnp.float32), (b, S, S)
+            )
+            feats_full = jnp.stack(
+                [jnp.ones_like(dark_full), dark_full, dark_full * left,
+                 lum, left, printed_like], axis=-1,
+            )
+            f = S // h
+            feats = jax.lax.reduce_window(
+                feats_full, 0.0, jax.lax.add, (1, f, f, 1), (1, f, f, 1),
+                "VALID",
+            ) / float(f * f)
+            feats = feats.reshape(-1, 6)
+        else:
+            lum_small = jax.image.resize(lum, (b, h, w), method="linear")
+            dark = (lum_small < args.dark_threshold).astype(jnp.float32)
+            left = jnp.broadcast_to(
+                (jnp.arange(w) < w // 2).astype(jnp.float32), (b, h, w)
+            )
+            feats = jnp.stack(
+                [jnp.ones_like(dark), dark, dark * left, lum_small, left,
+                 jnp.zeros_like(dark)], axis=-1,
+            ).reshape(-1, 6)
         onehot = jax.nn.one_hot(ids, k_pad, dtype=jnp.float32)
         return onehot.T @ feats
 
@@ -270,13 +357,18 @@ def main(argv=None) -> int:
     rows = []
     scored_cd_all = {}
     scored_fg_all = {}
+    class_threshold = (
+        args.printed_frac_threshold
+        if args.class_mode == "appearance" else args.left_threshold
+    )
     for (layer, k), s in acc.items():
         stats = np.asarray(s)[:k]
         scored_cd = score_stats(stats, args.cd_dark_fraction,
-                                args.left_threshold, args.fg_beta,
-                                region=True)
+                                class_threshold, args.fg_beta,
+                                region=True, mode=args.class_mode)
         scored_fg = score_stats(stats, args.dark_fraction,
-                                args.left_threshold, args.fg_beta)
+                                class_threshold, args.fg_beta,
+                                mode=args.class_mode)
         scored_cd_all[(layer, k)] = scored_cd
         scored_fg_all[(layer, k)] = scored_fg
         rows.append({

@@ -771,6 +771,68 @@ def gan_snapshot_tree_from_torch(
     return tree
 
 
+def merge_matching_leaves(fresh: Any, loaded: Any, _copied=None) -> tuple:
+    """Shape-tolerant warm start: copy every leaf of `loaded` whose path
+    exists in `fresh` with the same shape; keep `fresh`'s init elsewhere.
+    Returns (merged_tree, copied_count, skipped_count)."""
+    import jax
+    import jax.numpy as jnp
+
+    counts = _copied if _copied is not None else [0]
+
+    def merge(f, l):
+        if isinstance(f, dict) and isinstance(l, dict):
+            return {
+                k: merge(f[k], l[k]) if k in l else f[k] for k in f
+            }
+        f_shape = getattr(f, "shape", None)
+        l_arr = jnp.asarray(l)
+        if f_shape is not None and tuple(f_shape) == tuple(l_arr.shape):
+            counts[0] += 1
+            return l_arr
+        return f
+
+    merged = merge(fresh, loaded)
+    total = len(jax.tree_util.tree_leaves(fresh))
+    return merged, counts[0], total - counts[0]
+
+
+def upscale_gan_snapshot_tree(
+    tree: Dict[str, Any], source_size: int, target_size: int
+) -> Dict[str, Any]:
+    """Re-key a smaller-resolution StyleGAN2 snapshot so its parameters land
+    on the matching stages of a larger-resolution model (the 256px
+    warm-start path — VERDICT r4 #2: init the 256px run from the converged
+    128px checkpoint instead of cold-starting into mode collapse).
+
+    Generator/g_ema/g_noises params index from the 4px end (models/
+    stylegan2.py setup), so they already align by name — convs_0..9 of a
+    128px G are the first 10 convs of a 256px G. Discriminator blocks index
+    from the INPUT resolution down (models/stylegan2.py Discriminator), so
+    source blocks_i becomes target blocks_{i+shift}; conv_in and the new
+    top blocks keep fresh init. Apply with merge_matching_leaves so any
+    remaining shape mismatch falls back to fresh init instead of crashing."""
+    import math as _math
+
+    shift = int(_math.log2(target_size)) - int(_math.log2(source_size))
+    assert shift >= 0, (source_size, target_size)
+    out: Dict[str, Any] = {}
+    for key, sub in tree.items():
+        if key == "discriminator" and shift > 0:
+            renamed = {}
+            for name, value in sub.items():
+                if name.startswith("blocks_"):
+                    renamed[f"blocks_{int(name.split('_')[1]) + shift}"] = value
+                elif name == "conv_in":
+                    continue  # channel count differs at the new resolution
+                else:
+                    renamed[name] = value
+            out[key] = renamed
+        else:
+            out[key] = sub
+    return out
+
+
 def load_generator_variables(
     checkpoint_path: Union[str, Path], key: str = "g_ema"
 ) -> Dict[str, Any]:
