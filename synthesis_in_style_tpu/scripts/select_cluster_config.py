@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "frac * image_size")
     parser.add_argument("--out-tag", default="sel")
     parser.add_argument("--min-class-contour-area", type=int, default=4)
+    parser.add_argument("--fine-mask-dilation", type=int, default=2,
+                        help="px halo around fine ink masks in the rendered "
+                        "labels (round-4 lesson 5: stroke-exact labels are "
+                        "unlearnable; a 2px halo restored learnability)")
     parser.add_argument("--seed", type=int, default=7)
     return parser
 
@@ -458,6 +462,7 @@ def main(argv=None) -> int:
         # cross-region leak of whole-contour classification; see
         # dataset_segmenter.clip_to_class_regions)
         "clip_to_class_regions": True,
+        "fine_mask_dilation": args.fine_mask_dilation,
         "min_class_contour_area": args.min_class_contour_area,
         "seed": 1,
     }
