@@ -64,9 +64,10 @@ def _propagate_axis(labels: Array, mask: Array, axis: int) -> Array:
     return jnp.where(mask, out, _INF)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "connectivity"))
+@partial(jax.jit, static_argnames=("max_iters", "connectivity", "backend"))
 def connected_components(
-    mask: Array, max_iters: int | None = None, connectivity: int = 4
+    mask: Array, max_iters: int | None = None, connectivity: int = 4,
+    backend: str | None = None,
 ) -> Array:
     """Connected components of a boolean mask.
 
@@ -80,6 +81,11 @@ def connected_components(
       connectivity: 4 (run propagation only) or 8 (additionally bridges
         diagonal neighbors with a 3x3 windowed min each sweep — OpenCV
         findContours semantics).
+      backend: None (auto) picks the one-pass Pallas VMEM sweep kernel
+        (ops/pallas/segmented_cc.py — 1 HBM read + 1 write per call vs the
+        XLA path's ~32 passes per sweep) on TPU for tile-aligned shapes;
+        "xla" forces the associative-scan path; "pallas" /
+        "pallas_interpret" force the kernel (interpret = CPU tests).
 
     Returns:
       int32 labels, same shape: background = -1, each component labeled by
@@ -93,8 +99,45 @@ def connected_components(
     if max_iters is None:
         max_iters = h * w // 2 + 2
 
+    if backend is None:
+        from synthesis_in_style_tpu.ops.pallas.segmented_cc import (
+            supported_shape,
+        )
+
+        backend = (
+            "pallas"
+            if jax.default_backend() != "cpu" and supported_shape(h, w)
+            else "xla"
+        )
+
     seeds = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
     labels = jnp.where(mask, seeds, _INF)
+
+    if backend in ("pallas", "pallas_interpret"):
+        from synthesis_in_style_tpu.ops.pallas.segmented_cc import cc_sweeps
+
+        mask_i = mask.astype(jnp.int32)
+        sweeps_per_call = 4
+
+        def p_body(state):
+            labels, _, i = state
+            new, changed = cc_sweeps(
+                labels, mask_i, connectivity=connectivity,
+                sweeps=sweeps_per_call,
+                interpret=backend == "pallas_interpret",
+            )
+            return new, jnp.any(changed > 0), i + sweeps_per_call
+
+        def p_cond(state):
+            _, changed, i = state
+            return jnp.logical_and(changed, i < max_iters)
+
+        changed0 = jnp.logical_or(jnp.any(labels != _INF), True)
+        labels, _, _ = lax.while_loop(
+            p_cond, p_body, (labels, changed0, jnp.asarray(0))
+        )
+        labels = jnp.where(mask, labels, -1)
+        return labels[0] if squeeze else labels
 
     def body(state):
         labels, _, i = state

@@ -209,3 +209,41 @@ def test_device_filter_active_at_zero_confidence():
     seg.set_hyperparams({"min_contour_area": 50})
     out = seg.segment_image(Image.fromarray(np.zeros((32, 32, 3), np.uint8)))
     assert (np.argmax(out, axis=-1) == 1).sum() == 0
+
+
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_pallas_sweep_kernel_matches_xla(connectivity):
+    """The one-pass Pallas VMEM sweep (ops/pallas/segmented_cc.py, VERDICT
+    r4 #4) must produce bit-identical labels to the associative-scan path —
+    same canonical min-index labels, same fixpoint."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for density in (0.2, 0.45, 0.6):
+        mask = rng.random((2, 64, 128)) < density
+        a = np.asarray(connected_components(
+            jnp.asarray(mask), connectivity=connectivity, backend="xla"))
+        b = np.asarray(connected_components(
+            jnp.asarray(mask), connectivity=connectivity,
+            backend="pallas_interpret"))
+        assert np.array_equal(a, b), density
+
+
+def test_pallas_sweep_kernel_snake():
+    """Long snaking 1px component — exercises many sweeps, so the
+    sweeps-per-call batching must still reach the exact fixpoint."""
+    import jax.numpy as jnp
+
+    mask = np.zeros((8, 128), bool)
+    mask[0, :] = True
+    mask[2, :] = True
+    mask[4, :] = True
+    mask[6, :] = True
+    mask[1, -1] = mask[3, 0] = mask[5, -1] = True  # connect into one snake
+    a = np.asarray(connected_components(
+        jnp.asarray(mask[None]), connectivity=4, backend="xla"))
+    b = np.asarray(connected_components(
+        jnp.asarray(mask[None]), connectivity=4,
+        backend="pallas_interpret"))
+    assert np.array_equal(a, b)
+    assert len(np.unique(a[a >= 0])) == 1
