@@ -225,7 +225,13 @@ class DivergenceAlarm(Extension):
         self.d_loss_eps = float(d_loss_eps)
         self.d_loss_checks = int(d_loss_checks)
         self.warmup_iterations = int(warmup_iterations)
-        self.abort = bool(abort)
+        # abort: bool (all kinds) or a list of kinds — e.g. ["d_collapse"]
+        # aborts on the unambiguous collapse signature while a late-training
+        # FID drift (observed live: a 4-eval rise at the noise floor of the
+        # pinned embedding) only logs
+        self.abort = (
+            abort if isinstance(abort, (list, tuple, set)) else bool(abort)
+        )
         self.fid_history: list = []
         self._low_d_streak = 0
         self._seen_eval_iteration = -1
@@ -251,7 +257,11 @@ class DivergenceAlarm(Extension):
                 "kind": kind, "iteration": trainer.updater.iteration,
                 "detail": detail, "fid_history": self.fid_history,
             }))
-        if self.abort:
+        should_abort = (
+            kind in self.abort
+            if isinstance(self.abort, (list, tuple, set)) else self.abort
+        )
+        if should_abort:
             raise TrainingDiverged(f"{kind} at iteration "
                                    f"{trainer.updater.iteration}: {detail}")
 

@@ -100,15 +100,19 @@ def connected_components(
         max_iters = h * w // 2 + 2
 
     if backend is None:
+        import os
+
         from synthesis_in_style_tpu.ops.pallas.segmented_cc import (
             supported_shape,
         )
 
-        backend = (
-            "pallas"
-            if jax.default_backend() != "cpu" and supported_shape(h, w)
-            else "xla"
-        )
+        backend = os.environ.get("SIS_DEVICE_CC_BACKEND")  # A/B override
+        if backend is None:
+            backend = (
+                "pallas"
+                if jax.default_backend() != "cpu" and supported_shape(h, w)
+                else "xla"
+            )
 
     seeds = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
     labels = jnp.where(mask, seeds, _INF)

@@ -27,6 +27,12 @@ def main() -> None:
     parser.add_argument("--log-dir", required=True)
     parser.add_argument("--local-devices", type=int, default=4)
     parser.add_argument("--resume", default=None)
+    parser.add_argument("--kill-at-iter", type=int, default=None,
+                        help="simulate pod preemption: raise "
+                        "KeyboardInterrupt in THIS process once the "
+                        "updater reaches this iteration (the trainer's "
+                        "finally block still finalizes the snapshot); "
+                        "exits with code 7")
     args = parser.parse_args()
 
     # Environment BEFORE jax import (tests/mp_worker.py pattern)
@@ -68,6 +74,25 @@ def main() -> None:
 
     cli_args = cli.build_parser().parse_args(argv)
     cli_args.log_dir = args.log_dir
+    if args.kill_at_iter is not None:
+        from synthesis_in_style_tpu.core.updater import Updater
+
+        original = Updater.update
+        kill_at = args.kill_at_iter
+
+        def update(self):
+            if self.iteration >= kill_at:
+                raise KeyboardInterrupt("preempted")
+            original(self)
+
+        Updater.update = update
+        try:
+            cli.main(cli_args)
+        except KeyboardInterrupt:
+            print(f"rank {args.rank} preempted at iteration {kill_at}",
+                  flush=True)
+            sys.exit(7)
+        raise AssertionError("kill-at-iter never fired")
     cli.main(cli_args)
 
     # the CLI main() called maybe_initialize_distributed(); prove the run

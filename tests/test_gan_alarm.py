@@ -134,3 +134,19 @@ def test_cli_wires_alarm_by_default():
         "synthesis_in_style_tpu/cli/train_adversarial_generator.py"
     ).read()
     assert "DivergenceAlarm" in src2
+
+
+def test_abort_kinds_selective(tmp_path):
+    """abort=["d_collapse"] must raise on collapse but only log on FID
+    divergence (the observed live false-positive mode: a monotone rise at
+    the pinned embedding's noise floor)."""
+    alarm = DivergenceAlarm(trigger=None, log_dir=tmp_path,
+                            fid_rising_evals=4, warmup_iterations=30,
+                            abort=["d_collapse"])
+    trainer = _Trainer()
+    fired = _run_fid_trajectory(
+        alarm, trainer, [0.001, 0.0011, 0.0012, 0.0013, 0.0014, 0.0015])
+    assert not fired  # logged, not raised
+    assert (tmp_path / "alarm.json").exists()
+    fired = _run_d_loss_trajectory(alarm, trainer, [0.001] * 12)
+    assert fired and "d_collapse" in str(fired[0])
