@@ -441,6 +441,18 @@ def main(argv=None) -> int:
             scored = scored_fg_all[(layer, k)]
         composed[layer] = catalogs_per_k[k][layer]
         label_map[layer] = labels_from_stats(scored, k, args)
+        # per-cluster diagnostics: label starvation shows up here as a
+        # text class whose clusters cover almost no area
+        n = np.asarray(acc[(layer, k)])[:k, 0]
+        for cl in range(k):
+            print(
+                f"  chosen layer {layer} k={k} cluster {cl}: "
+                f"area={n[cl] / max(1.0, n.sum()):.4f} "
+                f"dark={scored['dark_frac'][cl]:.2f} "
+                f"class_frac={scored['left_frac'][cl]:.2f} -> "
+                f"{label_map[layer][str(cl)]}",
+                flush=True,
+            )
     save_catalogs(composed, sem_dir / "catalogs" / f"{tag}.npz")
     (sem_dir / f"merged_classes_{tag}.json").write_text(
         json.dumps(label_map)
