@@ -64,10 +64,14 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--seg-config",
                         default="configs/segmenter/stylegan2_doc_ufcn_segmenter.yaml")
-    parser.add_argument("--select-args", nargs="*", default=[],
-                        help="extra args passed to select_cluster_config")
+    parser.add_argument("--select-args", default="",
+                        help="extra args passed to select_cluster_config, "
+                        "as ONE quoted string (shlex-split), e.g. "
+                        "--select-args '--num-cd-layers 3'")
     parser.add_argument("--min-confidence", nargs="+", type=float,
                         default=[0.0, 0.5, 0.7])
+    parser.add_argument("--min-contour-area", nargs="+", type=int,
+                        default=[0, 55])
     parser.add_argument("--skip-discovery", action="store_true",
                         help="reuse <work_dir>/sem/catalogs from a prior run")
     args = parser.parse_args(argv)
@@ -88,11 +92,13 @@ def main(argv=None) -> int:
             "-c", min(args.ks), max(args.ks) + 1,
         ], report, work)
 
+    import shlex
+
     run_leg("select_config", py + [
         "synthesis_in_style_tpu.scripts.select_cluster_config",
         args.checkpoint, sem, "--ks", *args.ks,
         "-n", args.num_discovery_samples, "--out-tag", "sel",
-    ] + list(args.select_args), report, work)
+    ] + shlex.split(args.select_args), report, work)
 
     dataset_dir = work / "dataset"
     run_leg("labelled_synthesis", py + [
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
         "-gt", Path(args.fixture) / "eval" / "gt",
         "-o", work / "eval_out", "-cds", "-cio",
         "--min-confidence", *args.min_confidence,
+        "--min-contour-area", *args.min_contour_area,
         "--handle-existing", "overwrite",
     ], report, work)
 
