@@ -100,6 +100,16 @@ class LogWriter(Extension):
             return
         means["iteration"] = trainer.updater.iteration
         means["epoch"] = trainer.updater.epoch
+        try:
+            # host RSS in the metric stream: a leak like the measured
+            # 15 MB/iteration numpy-buffer growth (OOM-killed a 256px run
+            # at 130 GB) shows up long before the OOM killer does
+            with open("/proc/self/statm") as f:
+                means["host/rss_gb"] = round(
+                    int(f.read().split()[1]) * 4096 / 2**30, 3
+                )
+        except OSError:
+            pass
         if _is_main_process():
             with open(self.log_path, "a") as f:
                 f.write(json.dumps(means) + "\n")
