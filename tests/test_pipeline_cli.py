@@ -203,3 +203,35 @@ def test_full_synthesis_pipeline(tmp_path, extra_args):
     assert {"images", "annotations", "categories"} <= set(coco)
     train = json.loads((image_dir / "train.json").read_text())
     assert all("file_name" in e and "has_printed_text" in e for e in train)
+
+
+def test_gray_fetch_matches_rgb_luminance():
+    """--gray-fetch (1 B/px image transfer) must fetch exactly the
+    luminance of the RGB path, replicated host-side to RGB."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synthesis_in_style_tpu.models.stylegan2 import Generator
+    from synthesis_in_style_tpu.utils.dataset_creation import (
+        make_generate_fn,
+        make_image,
+    )
+
+    gen = Generator(size=32, style_dim=32, n_mlp=2)
+    variables = gen.init(
+        jax.random.PRNGKey(0), [jnp.zeros((1, 32))], randomize_noise=False
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    _, rgb = make_generate_fn(gen, variables)(z)
+    _, gray = make_generate_fn(gen, variables, gray_fetch=True)(z)
+    assert gray.shape == rgb.shape[:3] and gray.dtype == rgb.dtype
+    # expected: quantize the float luminance of the RAW generator output
+    raw, _ = gen.apply(variables, [z], randomize_noise=False)
+    expected = np.clip(
+        np.round((np.asarray(raw, np.float32).mean(-1) + 1.0) * 127.5),
+        0, 255,
+    )
+    np.testing.assert_array_equal(np.asarray(gray, np.float32), expected)
+    replicated = np.repeat(make_image(gray)[..., None], 3, axis=-1)
+    assert replicated.shape == rgb.shape
