@@ -40,9 +40,12 @@ def test_capstone_no_class_scores_zero():
     dice = best["average_dice_scores"]
     assert dice["background"]["score"] > 0.85
     # the paper pipeline's point: TEXT classes are learnable from purely
-    # synthetic labels — round 2's random-weight capstone scored 0.0 here
-    assert dice["printed_text"]["score"] > 0.1
-    assert dice["handwritten_text"]["score"] > 0.0
+    # synthetic labels — round 2's random-weight capstone scored 0.0 on
+    # all text, round 4's position-coded chain scored handwritten 0.002
+    # (argmax-absent); the round-5 appearance-coded chain has BOTH text
+    # classes measurably present on held-out pages
+    assert dice["printed_text"]["score"] > 0.15
+    assert dice["handwritten_text"]["score"] > 0.05
 
 
 def test_capstone_weighted_quality_floor():
@@ -51,5 +54,5 @@ def test_capstone_weighted_quality_floor():
         results["runs"],
         key=lambda run: run["average_dice_scores"]["weighted_avg"]["score"],
     )
-    assert best["average_dice_scores"]["weighted_avg"]["score"] > 0.75
-    assert best["average_iou_scores"]["weighted_avg"]["score"] > 0.65
+    assert best["average_dice_scores"]["weighted_avg"]["score"] > 0.8
+    assert best["average_iou_scores"]["weighted_avg"]["score"] > 0.7
