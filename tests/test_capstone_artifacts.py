@@ -39,13 +39,16 @@ def test_capstone_no_class_scores_zero():
     )
     dice = best["average_dice_scores"]
     assert dice["background"]["score"] > 0.85
-    # the paper pipeline's point: TEXT classes are learnable from purely
-    # synthetic labels — round 2's random-weight capstone scored 0.0 on
-    # all text, round 4's position-coded chain scored handwritten 0.002
-    # (argmax-absent); the round-5 appearance-coded chain has BOTH text
-    # classes measurably present on held-out pages
-    assert dice["printed_text"]["score"] > 0.15
-    assert dice["handwritten_text"]["score"] > 0.05
+    # the paper pipeline's point: handwritten/printed separation is
+    # learnable from purely synthetic labels. Round 2's random-weight
+    # capstone scored 0.0 on all text; round 4's position-coded chain
+    # scored handwritten 0.002 (argmax-absent); the round-5
+    # appearance-coded 256px chain (trained 256px generator, measured
+    # cluster-config selection, augmentation ON) scores printed 0.507 /
+    # handwritten 0.575 on held-out pages — median per-page handwritten
+    # dice 0.526, 75% of pages above 0.2 (MEASUREMENTS.md round 5)
+    assert dice["printed_text"]["score"] > 0.3
+    assert dice["handwritten_text"]["score"] > 0.25
 
 
 def test_capstone_weighted_quality_floor():
